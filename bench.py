@@ -1,0 +1,87 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a cheap full-pipeline action
+(count of the result) so the timing covers scan -> shuffle -> result, not
+plan construction. The first query's time includes JVM/codegen warmup; a
+throwaway warmup action runs first so per-query numbers are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: relational core, window/join surface, dedup family,
+# similarity search, text analysis, and the flagship instruction pipeline.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "agg_rollup",
+    "join_dims_broadcast",
+    "window_rank_orders",
+    "exact_dedup_first",
+    "minhash_lsh_dedup",
+    "simhash_fingerprints",
+    "embedding_near_dup",
+    "similarity_brute_topk",
+    "token_quality_stats",
+    "asof_join_purchases",
+    "tumbling_window_agg",
+    "instructions_mapreduce",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from instructionspipe_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="instructionspipe-spark-bench")
+    queries = entrymod.queries()
+
+    # Warmup: force JVM + codegen + parquet footer reads before timing.
+    from instructionspipe_spark import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    tables["lineitem"].count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,98 @@
+"""Text scalar functions (SURVEY.md F5-F7, F13-F15) as pure expressions.
+
+Covers the reference's template substitution
+(``apps/llm_as_a_judge/eval_with_facts.py:534-542``), tag extraction
+(``apps/poc-codaact-tableqa/tableqa_codeact.py:117-134``), code-fence
+stripping (``eval_with_facts.py:558-561``), char n-grams with punctuation
+strip (``apps/etl/etl_slimpajama_dc_proc.py:41-55``), word count
+(``etl_slimpajama_dc_proc.py:142``) and the sha256 cache key
+(``src/python/instructionspipe/llm_cli.py:101-104``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def template_fill(template: str, mapping: dict[str, Column | str]) -> Column:
+    """``__PLACEHOLDER__`` substitution: build a Column from a literal template
+    with each placeholder spliced from a Column. Placeholders must each occur
+    exactly once (the reference uses str.replace with single occurrences)."""
+    # Split the template on placeholders, interleave literals and columns.
+    if not mapping:
+        return F.lit(template)
+    pattern = "(" + "|".join(re.escape(k) for k in mapping) + ")"
+    parts = re.split(pattern, template)
+    cols: list[Column] = []
+    for part in parts:
+        if part in mapping:
+            cols.append(F.coalesce(_c(mapping[part]).cast("string"), F.lit("")))
+        elif part:
+            cols.append(F.lit(part))
+    return F.concat(*cols) if len(cols) > 1 else cols[0]
+
+
+def tag_extract(col: Column | str, open_tag: str, close_tag: str) -> Column:
+    """Extract text between a tag pair; NULL when absent (the reference walks
+    a fallback list of tag pairs — compose with ``coalesce``)."""
+    pat = re.escape(open_tag) + r"([\s\S]*?)" + re.escape(close_tag)
+    out = F.regexp_extract(_c(col), pat, 1)
+    return F.when(out != "", out)
+
+
+def fence_strip(col: Column | str) -> Column:
+    """Strip ```json / ``` fences and a leading reasoning block ending in
+    </think> — llm_json_clean semantics."""
+    c = _c(col)
+    c = F.element_at(F.split(c, "</think>"), -1)
+    c = F.regexp_replace(c, r"^\s*```(?:json|python)?\s*", "")
+    c = F.regexp_replace(c, r"\s*```\s*$", "")
+    return F.trim(c)
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    """Split into whitespace tokens, dropping empties."""
+    return F.filter(F.split(_c(col), r"\s+"), lambda t: t != "")
+
+
+def word_count(col: Column | str) -> Column:
+    """Whitespace word count (reference counts ``split(' ')`` after newline
+    replacement; we count non-empty tokens, which is strictly better and what
+    its low-length filter intends)."""
+    return F.size(whitespace_tokens(col))
+
+
+def char_ngrams(col: Column | str, n: int = 3, strip_punct: bool = True) -> Column:
+    """Character n-gram array after (optionally) stripping punctuation and
+    collapsing whitespace — the shingle set for MinHash / Jaccard dedup.
+
+    Pure expression: sequence + transform over substrings, so it runs
+    JVM-side and streams. Returns an empty array for short strings.
+    """
+    c = _c(col)
+    if strip_punct:
+        c = F.lower(F.regexp_replace(c, r"[^\w\s]|_", ""))
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    length = F.length(c)
+    text = c
+    # Guard: sequence(1, 0) would produce a DESCENDING [1, 0], not empty —
+    # texts shorter than n must yield an empty shingle set.
+    return F.when(
+        length >= n,
+        F.transform(
+            F.sequence(F.lit(1), length - F.lit(n - 1)), lambda i: text.substr(i, F.lit(n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def cache_key(col: Column | str) -> Column:
+    """sha256 hex digest of a string column — the LLM response-cache key
+    (reference hashes json.dumps(chatml); we hash the canonical prompt)."""
+    return F.sha2(_c(col), 256)

@@ -1,0 +1,41 @@
+"""Relational / ETL operator surface (SURVEY.md §2.2-2.7 + north-star ops).
+
+Each operator is a DataFrame -> DataFrame transformation built from
+declarative Spark constructs so Catalyst keeps full optimization freedom
+(pushdown, pruning, join selection, AQE). Determinism contract: any operator
+that the reference implemented with RNG or insertion order (sampling, splits,
+near-dedup survivor choice) is re-specified here as a deterministic function
+of the data (md5-based pseudo-random ordering, min-key survivors) so results
+are reproducible across runs, partitionings and engines.
+"""
+
+from instructionspipe_spark.operators.projection import scope_project, scope_markdown  # noqa: F401
+from instructionspipe_spark.operators.grouping import group_counts, distribution_check  # noqa: F401
+from instructionspipe_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    multi_key_dedup,
+    minhash_signature,
+    minhash_lsh_dedup,
+    simhash,
+    simhash_dedup,
+    ngram_jaccard_pairs,
+    embedding_near_dup,
+)
+from instructionspipe_spark.operators.sampling import (  # noqa: F401
+    capped_group_sample,
+    seeded_shuffle,
+    seeded_head,
+)
+from instructionspipe_spark.operators.splitting import grouped_split  # noqa: F401
+from instructionspipe_spark.operators.similarity import (  # noqa: F401
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from instructionspipe_spark.operators.asof import asof_join, range_join  # noqa: F401
+from instructionspipe_spark.operators.textstats import (  # noqa: F401
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    text_stats,
+    token_count,
+)

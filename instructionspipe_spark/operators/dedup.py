@@ -1,0 +1,328 @@
+"""Deduplication family (SURVEY.md G2-G5 + north-star dedup ops).
+
+Reference behaviors re-specified for scale and determinism:
+
+- exact dedup keeps ``v[0]`` per group in input order
+  (``apps/etl/etl_sampling_by_key.py:42-47``) — input order does not exist in
+  a distributed engine, so the survivor is the row minimizing an explicit
+  tie-break key (deterministic under any partitioning);
+- MinHash-LSH near-dedup (``apps/etl/etl_slimpajama_dc_proc.py:41-86,147-158``)
+  keeps an in-memory LSH index and drops a record if it has more than
+  ``most_dup`` *previously inserted* matches — order-dependent and
+  single-node. Here: shingle -> MinHash signature -> band buckets -> shared
+  bucket candidate pairs -> drop the larger id of each verified pair. The
+  result is order-independent and runs as joins/aggregations that shuffle on
+  band hashes (uniform by construction, so no skew).
+
+All hashing is md5-based (built-in, available identically in DuckDB) so every
+operator here is oracle-checkable; swap ``xxhash64`` in for md5 at production
+scale if profile shows hashing hot (same structure, one expression change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from instructionspipe_spark.functions.text import char_ngrams
+from instructionspipe_spark.functions.vectors import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, keys: list[str], tiebreak: list[str]) -> DataFrame:
+    """Keep exactly one row per key group: the row with the smallest
+    ``tiebreak`` value. ``dropDuplicates`` would be cheaper by a sort but
+    returns an arbitrary row; a deterministic survivor is worth the
+    ``row_number`` (still a single shuffle, AQE handles skew)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in tiebreak])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def multi_key_dedup(df: DataFrame, key_sets: list[list[str]], tiebreak: list[str]) -> DataFrame:
+    """Sequential dedup over several key sets (reference
+    ``etl_sampling_by_key.py:50-53`` folds dedup over keys)."""
+    for keys in key_sets:
+        df = exact_dedup(df, keys, tiebreak)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Universal-hash family over the 48-bit base hash: permutation i is
+# h_i(x) = (A[i]*x + B[i]) mod 2^48, with A odd 12-bit and B 48-bit constants
+# derived from md5 of the permutation index — deterministic, no RNG state,
+# reproducible in any engine (A[i]*x < 2^61 never overflows signed 64-bit).
+_MOD = 1 << 48
+
+
+def _perm_constants(num_perm: int) -> tuple[list[int], list[int]]:
+    import hashlib
+
+    a = [int(hashlib.md5(f"a{i}".encode()).hexdigest()[:3], 16) | 1 for i in range(num_perm)]
+    b = [int(hashlib.md5(f"b{i}".encode()).hexdigest()[:12], 16) for i in range(num_perm)]
+    return a, b
+
+
+def base_hash48(s: Column) -> Column:
+    """48-bit integer hash of a string: first 12 hex chars of md5.
+    (DuckDB mirror: ``CAST('0x' || substr(md5(s),1,12) AS BIGINT)``.)"""
+    return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column, num_perm: int = 16, ngram: int = 3) -> Column:
+    """MinHash signature as ``array<bigint>`` of length ``num_perm``.
+
+    One md5 per distinct shingle (the expensive part), then ``num_perm``
+    cheap affine permutations — the standard tensoring trick, so cost is
+    ``|shingles| + num_perm × |shingles|`` integer ops rather than
+    ``num_perm × |shingles|`` cryptographic hashes. Pure expression: no
+    shuffle, no UDF, embarrassingly parallel across rows.
+
+    Empty shingle sets yield NULL signature entries (filter short docs first
+    — the reference's low-length filter P5 does exactly this).
+    """
+    a_const, b_const = _perm_constants(num_perm)
+    shingles = F.array_distinct(char_ngrams(text, n=ngram))
+    hashes = F.transform(shingles, base_hash48)
+
+    def perm_min(hs: Column, a: int, b: int) -> Column:
+        # NB: single-arg lambda only — a two-arg lambda would receive the
+        # array index as its second argument from transform().
+        return F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MOD)))
+
+    # Let-binding via a 1-element array: the md5-per-shingle hash array is
+    # evaluated ONCE and bound to the lambda variable; referencing `hashes`
+    # directly in all num_perm branches would copy the expression tree and
+    # recompute the cryptographic hashes num_perm times (no CSE across
+    # higher-order lambdas in Catalyst).
+    return F.element_at(
+        F.transform(
+            F.array(hashes),
+            lambda hs: F.array(*[perm_min(hs, a_const[i], b_const[i]) for i in range(num_perm)]),
+        ),
+        1,
+    )
+
+
+def minhash_band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band hashes: split the signature into ``bands`` slices of
+    ``rows_per_band`` and hash each slice. Returns ``array<string>``."""
+    idx = F.sequence(F.lit(0), F.lit(bands - 1))
+
+    def bands_of(s: Column) -> Column:
+        return F.transform(
+            idx,
+            lambda b: F.md5(
+                F.concat(
+                    b.cast("string"),
+                    F.lit("|"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(s, b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    ),
+                )
+            ),
+        )
+
+    # Let-bind the signature so it is computed once, not once per band.
+    return F.element_at(F.transform(F.array(sig), bands_of), 1)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(id_a < id_b)`` sharing >= 1 LSH band.
+
+    Plan shape at scale: one narrow projection -> explode bands (x``bands``
+    rows) -> self-join on (band_idx, band_hash). Band hashes are md5 outputs,
+    so the join keys are uniformly distributed — the shuffle cannot skew
+    except on true duplicate explosions, which AQE skew-join splits.
+    """
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram)
+    banded = (
+        df.select(F.col(id_col).alias("__id"), minhash_band_hashes(sig, bands, rows_per_band).alias("__bands"))
+        .select("__id", F.posexplode("__bands").alias("__band_idx", "__band_hash"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band_idx") == F.col("b.__band_idx"))
+            & (F.col("a.__band_hash") == F.col("b.__band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Jaccard similarity of two distinct-shingle arrays."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return F.when(union > 0, inter.cast("double") / union.cast("double"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Drop near-duplicates: for every candidate pair (optionally verified at
+    ``jaccard >= threshold``), the row with the larger id is removed. The
+    survivor choice (min id) replaces the reference's insertion-order rule
+    with a deterministic one. Left-anti join keeps the plan shuffle-minimal.
+    """
+    pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, ngram)
+    if threshold is not None:
+        sh = df.select(
+            F.col(id_col).alias("__sid"),
+            F.array_distinct(char_ngrams(F.col(text_col), n=ngram)).alias("__sh"),
+        )
+        pairs = (
+            pairs.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+            .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+            .filter(jaccard(F.col("__sh_a"), F.col("__sh_b")) >= F.lit(threshold))
+            .select("id_a", "id_b")
+        )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 32, ngram: int = 3) -> Column:
+    """SimHash fingerprint as a BIGINT built from ``bits`` bit-votes.
+
+    Each distinct shingle contributes +1/-1 per bit of its 48-bit base hash;
+    the fingerprint bit is 1 when the vote sum is positive. One md5 per
+    shingle, then shift/mask arithmetic — per-row expression, no shuffle,
+    mirrored in SQL with ``>>`` and ``%``.
+    """
+    assert bits <= 48
+    shingles = F.array_distinct(char_ngrams(text, n=ngram))
+    hashes = F.transform(shingles, base_hash48)
+
+    def vote_sum(hs: Column, b: int) -> Column:
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b) % 2) * 2 - 1,
+        )
+
+    def fingerprint(hs: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            out = out + F.when(vote_sum(hs, b) > 0, F.lit(2**b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return out
+
+    # Same let-binding trick as minhash_signature: hash each shingle once,
+    # then run all `bits` vote passes over the bound array.
+    return F.element_at(F.transform(F.array(hashes), fingerprint), 1)
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, ngram: int = 3
+) -> DataFrame:
+    """Exact-fingerprint SimHash dedup: rows with identical simhash collapse
+    to the min-id survivor. (Hamming-radius matching would bucket by bit
+    bands, same LSH shape as MinHash.)"""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    with_fp = df.withColumn("__fp", simhash(F.col(text_col), bits=bits, ngram=ngram))
+    return exact_dedup(with_fp, ["__fp"], [id_col]).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard pairs + embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    min_jaccard: float = 0.0,
+    ngram: int = 3,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with their n-gram Jaccard similarity.
+
+    ``block_col`` is the blocking key (only rows sharing it are compared) —
+    mandatory at scale; the unblocked form is O(n^2) and only for tests.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        F.array_distinct(char_ngrams(F.col(text_col), n=ngram)).alias("__sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jaccard(F.col("a.__sh"), F.col("b.__sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column; keep-min-id
+    dedup composes via a left-anti join exactly like minhash_lsh_dedup.
+    At scale, block first (LSH / IVF bucket from operators.similarity)."""
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("__blk"))
+    v = df.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if block_col:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

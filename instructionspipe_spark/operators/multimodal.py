@@ -1,0 +1,213 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The reference touches multimodality only through base64-encoded PDF page
+images spliced into prompts (``apps/poc-instruction-gen/
+run_example2template.py:77-149``). A 100 TB training-data pipeline needs the
+general form: media as ``binary`` columns with a typed metadata struct,
+flowing through dedup/sampling/joins like any column, with decode /
+feature-extract / resize / frame-sample as Arrow-batched pandas functions
+over ``mapInPandas``.
+
+Codec libraries (PIL, ffmpeg, torchaudio) are NOT available in this
+environment, so the decode step is pluggable: pass ``decode_fn`` to each
+operator, or rely on the default :func:`fake_decode` — a deterministic stub
+that derives pixel/sample statistics from the bytes themselves, keeping the
+Spark-side plumbing (schema, batching, partitioning, UDF signatures) real and
+fully tested. Swapping in a real codec is a one-argument change and touches
+no plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata carried beside every media binary column.
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),  # png|jpeg|wav|mp4|...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def media_struct(
+    media_type: str, fmt: str, width=None, height=None, n_frames=None, sample_rate=None, duration_ms=None
+) -> Column:
+    """Build a MEDIA_META_TYPE struct column from literals/columns."""
+    def lit_or_col(v, cast: str):
+        c = v if isinstance(v, Column) else F.lit(v)
+        return c.cast(cast)
+
+    return F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(fmt).alias("format"),
+        lit_or_col(width, "int").alias("width"),
+        lit_or_col(height, "int").alias("height"),
+        lit_or_col(n_frames, "int").alias("n_frames"),
+        lit_or_col(sample_rate, "int").alias("sample_rate"),
+        lit_or_col(duration_ms, "long").alias("duration_ms"),
+    )
+
+
+def fake_decode(data: bytes) -> dict:
+    """Deterministic stand-in for a codec: statistics derived from the raw
+    bytes. REAL DECODE IS STUBBED — replace with PIL/ffmpeg in production
+    (`decode_fn` argument of the operators below)."""
+    digest = hashlib.sha256(data).hexdigest()
+    features = [
+        int(digest[i * 8 : (i + 1) * 8], 16) / 0xFFFFFFFF for i in range(FEATURE_DIM)
+    ]
+    return {"content_hash": digest, "n_bytes": len(data), "features": features}
+
+
+def extract_features(
+    df: DataFrame, binary_col: str = "content", decode_fn=fake_decode
+) -> DataFrame:
+    """Decode + feature-extract each media binary via Arrow-batched
+    ``mapInPandas``. Output adds (content_hash, n_bytes, features[FEATURE_DIM]).
+
+    Plan shape at scale: narrow map over repartitioned binaries — no shuffle;
+    batch size is the Arrow batch, so decoder memory is bounded regardless of
+    partition size.
+    """
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(df.schema.fields + list(_FEATURE_SCHEMA.fields))
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            decoded = [
+                decode_fn(bytes(b)) if b is not None else
+                {"content_hash": None, "n_bytes": 0, "features": None}
+                for b in pdf[binary_col]
+            ]
+            pdf = pdf.copy()
+            pdf["content_hash"] = [d["content_hash"] for d in decoded]
+            pdf["n_bytes"] = [d["n_bytes"] for d in decoded]
+            pdf["features"] = [d["features"] for d in decoded]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    binary_col: str = "content",
+    meta_col: str = "meta",
+    target_width: int = 224,
+    target_height: int = 224,
+    resize_fn=None,
+) -> DataFrame:
+    """Resize plumbing: rewrites the binary + updates metadata dims.
+
+    ``resize_fn(data: bytes, w: int, h: int) -> bytes`` is the pluggable
+    codec; the default stub raises ``NotImplementedError`` at *runtime* only
+    if a non-null binary is actually processed without a codec — the plan
+    itself (schema, metadata rewrite) is real either way. Pass
+    ``resize_fn=passthrough_resize`` for tests.
+    """
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    if resize_fn is None:
+        def resize_fn(data: bytes, w: int, h: int) -> bytes:  # noqa: ARG001
+            raise NotImplementedError(
+                "image codec not available in this environment; pass resize_fn"
+            )
+
+    schema = df.schema
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[binary_col] = [
+                resize_fn(bytes(b), target_width, target_height) if b is not None else None
+                for b in pdf[binary_col]
+            ]
+            metas = []
+            for m in pdf[meta_col]:
+                if m is None:
+                    metas.append(None)
+                    continue
+                m = dict(m)
+                m["width"], m["height"] = target_width, target_height
+                metas.append(m)
+            pdf[meta_col] = metas
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def passthrough_resize(data: bytes, w: int, h: int) -> bytes:  # noqa: ARG001
+    """Test stub: returns the bytes unchanged (metadata still updates)."""
+    return data
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "content",
+    meta_col: str = "meta",
+    every_nth: int = 10,
+    frame_fn=None,
+) -> DataFrame:
+    """Frame-sampling plumbing for video columns: explode each video row
+    into one row per sampled frame index. ``frame_fn(data, idx) -> bytes``
+    extracts a frame (stubbed like resize). The explode happens BEFORE
+    decoding, so frame extraction parallelizes across the cluster rather
+    than per-video."""
+    frame_idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.coalesce(F.col(meta_col)["n_frames"], F.lit(1)) - 1, F.lit(0)),
+            F.lit(every_nth),
+        )
+    ).alias("frame_index")
+    exploded = df.select("*", frame_idx)
+    if frame_fn is None:
+        return exploded  # plumbing-only: downstream decode owns extraction
+    from instructionspipe_spark.session import ensure_parallelism
+
+    exploded = ensure_parallelism(exploded)
+    schema = exploded.schema
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[binary_col] = [
+                frame_fn(bytes(b), int(i)) if b is not None else None
+                for b, i in zip(pdf[binary_col], pdf["frame_index"])
+            ]
+            yield pdf
+
+    return exploded.mapInPandas(kernel, schema=schema)
+
+
+def media_dedup(df: DataFrame, binary_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """Exact media dedup by content hash — pure expression (sha2 over the
+    binary), min-id survivor; composes with the whole dedup family."""
+    from instructionspipe_spark.operators.dedup import exact_dedup
+
+    with_hash = df.withColumn("__h", F.sha2(F.col(binary_col), 256))
+    return exact_dedup(with_hash, ["__h"], [id_col]).drop("__h")

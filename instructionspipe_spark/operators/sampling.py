@@ -1,0 +1,56 @@
+"""Sampling (SURVEY.md G6, G9) with deterministic hash-based pseudo-randomness.
+
+The reference samples with seeded ``random.sample`` per group
+(``apps/etl/etl_sampling_by_key.py:56-80``) and ``Dataset.shuffle(seed)``
+(``apps/training/sft.py:93-110``). Python RNG state cannot be reproduced in a
+distributed engine (and Spark's ``rand(seed)`` is partition-dependent), so the
+pseudo-random order here is ``md5(seed || key)`` — stable under repartitioning
+and reproducible in any engine with md5. This is strictly stronger
+determinism than the reference (same result on 1 node or 1000).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pseudo_random(seed: int | str, *cols: Column) -> Column:
+    """Deterministic pseudo-random sort key: md5 over seed + column values."""
+    parts: list[Column] = [F.lit(str(seed))]
+    for c in cols:
+        parts.extend([F.lit("|"), c.cast("string")])
+    return F.md5(F.concat(*parts))
+
+
+def capped_group_sample(
+    df: DataFrame,
+    keys: list[str],
+    max_group_size: int,
+    seed: int = 2,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group capped sample: ``min(|g|, max_group_size)`` rows per key
+    group, chosen by deterministic pseudo-random order (reference default
+    seed=2). ``id_cols`` salt the hash so identical rows order distinctly;
+    they default to all non-key columns. Single shuffle on the group keys."""
+    id_cols = id_cols or [c for c in df.columns if c not in keys]
+    order = pseudo_random(seed, *[F.col(c) for c in id_cols])
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_group_size)
+        .drop("__rn")
+    )
+
+
+def seeded_shuffle(df: DataFrame, seed: int, id_cols: list[str]) -> DataFrame:
+    """Global deterministic shuffle: total order by md5(seed || id)."""
+    return df.orderBy(pseudo_random(seed, *[F.col(c) for c in id_cols]))
+
+
+def seeded_head(df: DataFrame, n: int, seed: int, id_cols: list[str]) -> DataFrame:
+    """Shuffle-then-head (reference G9): deterministic top-n of the seeded
+    shuffle. Spark executes this as a TakeOrdered (per-partition top-n then
+    merge) — no full sort materialization."""
+    return seeded_shuffle(df, seed, id_cols).limit(n)

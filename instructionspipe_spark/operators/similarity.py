@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (north-star requirement).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the corpus, per-row cosine expression, per-query top-k via
+window. At 100 TB the corpus side streams through executors once; only the
+query set and the k results per query move.
+
+Scale path: LSH bucketing by random-hyperplane sign bits (deterministic
+hyperplanes derived from md5 of coordinate indexes so no RNG state), probing
+only matching buckets — the classic sign-LSH ANN layout. An IVF variant
+(k-means cells) would use ``pyspark.ml.clustering.KMeans``; sign-LSH is
+preferred here because it is stateless and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from instructionspipe_spark.functions.vectors import cosine_similarity, dot_product
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Ties broken by corpus id ascending for full determinism. Plan: broadcast
+    the query side (queries << corpus always), compute cosine in codegen,
+    rank with a window partitioned by query — the only shuffle is on
+    query_id, whose cardinality = |queries|.
+    """
+    from instructionspipe_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    joined = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_sign_bits(vec: Column, n_bits: int = 8) -> Column:
+    """Sign-LSH bucket id: bit ``j`` is the sign of <v, h_j> where
+    hyperplane ``h_j``'s coordinate ``i`` is a deterministic pseudo-random
+    value in [-0.5, 0.5) derived from md5(j||i). Stateless: any executor (or
+    any engine) recomputes identical buckets."""
+    def coord(j: Column, i: Column) -> Column:
+        # first 4 hex chars of md5 -> int in [0, 65536) -> [-0.5, 0.5)
+        h = F.md5(F.concat(j.cast("string"), F.lit(":"), i.cast("string")))
+        v = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+        return v.cast("double") / F.lit(65536.0) - F.lit(0.5)
+
+    bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    vec_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    v = vec
+
+    def bit_for(j: Column) -> Column:
+        proj = F.aggregate(
+            vec_idx,
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(v, i + 1).cast("double") * coord(j, i),
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, j: acc * 2 + bit_for(j).cast("long")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_bits: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: compare only corpus rows whose sign-LSH bucket
+    matches the query's bucket. Recall/cost tradeoff via ``n_bits`` (2^bits
+    buckets => ~corpus/2^bits candidates per query). Equi-join on the bucket
+    replaces the cross join, so the candidate generation is a plain
+    broadcast-hash join at any scale; multi-probe = union over flipped bits."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    c = corpus.withColumn("__bucket", hyperplane_sign_bits(F.col(corpus_vec), n_bits))
+    q = queries.withColumn("__bucket", hyperplane_sign_bits(F.col(query_vec), n_bits))
+    joined = c.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,53 @@
+"""Leak-free grouped train/val/test split (SURVEY.md G7).
+
+The reference shuffles the distinct keys with a seeded RNG and slices the key
+list by ratio (``apps/etl/etl_split_data_by_key.py:27-55``), so every group
+lands wholly in one split. Same contract here, made deterministic and
+distributed: keys are ranked by ``md5(seed || key)`` (percent_rank), rank
+thresholds give the ratios, and the assignment joins back broadcast — the
+fact table is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from instructionspipe_spark.operators.sampling import pseudo_random
+
+
+def grouped_split(
+    df: DataFrame,
+    key: str,
+    ratios: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each key group wholly to one named split.
+
+    ``ratios`` maps split name -> fraction (must sum to ~1). Groups are
+    ordered by a deterministic hash of the key; cumulative ratio thresholds
+    cut the ordered key space. The distinct-keys side is tiny relative to the
+    data (it is the group count), so it broadcasts; at 100 TB the only
+    full-data cost is the map-side hash join.
+    """
+    total = sum(ratios.values())
+    keys = df.select(key).distinct()
+    w = Window.orderBy(pseudo_random(seed, F.col(key)))
+    ranked = keys.withColumn("__pr", F.percent_rank().over(w))
+    expr = None
+    cum = 0.0
+    names = list(ratios)
+    for name in names[:-1]:
+        cum += ratios[name] / total
+        branch = F.when(F.col("__pr") < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(F.col("__pr") < F.lit(cum), F.lit(name))
+    assignment = (expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1]))
+    key_splits = ranked.select(F.col(key), assignment.alias(split_col))
+    return df.join(F.broadcast(key_splits), key)
+
+
+def write_split_sinks(df: DataFrame, path: str, split_col: str = "split", fmt: str = "parquet") -> None:
+    """Split sink (SURVEY.md S9): one partitioned write instead of the
+    reference's three sequential file writes (etl_split_data_by_key.py:78-85)."""
+    df.write.mode("overwrite").partitionBy(split_col).format(fmt).save(path)

@@ -1,0 +1,112 @@
+"""Text analysis operators (north-star: language-ID, quality scoring, token
+counting, document fingerprinting) — all pure expressions over the
+``documents`` table shape (doc_id, text, lang, source, n_chars).
+
+The reference has only a word-count filter (``etl_slimpajama_dc_proc.py:142``)
+and delegates text judgment to LLMs; these operators provide the cheap
+JVM-side pre-filters a 100 TB training-data pipeline runs *before* any model
+sees a byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from instructionspipe_spark.functions.text import whitespace_tokens, word_count
+
+# Minimal stopword inventories for an n-gram/stopword-ratio language heuristic.
+# Deliberately tiny and deterministic — language ID at scale is a scoring
+# problem, not a model problem, for coarse routing.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "es"],
+}
+
+
+def _lower_tokens(text: Column) -> Column:
+    return whitespace_tokens(F.lower(F.regexp_replace(text, r"[^\w\s]|_", "")))
+
+
+def stopword_ratio(text: Column, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = _lower_tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def detect_language(text: Column, langs: list[str] | None = None) -> Column:
+    """argmax over per-language stopword ratios; 'und' (undetermined) when no
+    stopword hits at all. Ties resolve to the first language in order."""
+    langs = langs or list(_STOPWORDS)
+    scores = [stopword_ratio(text, lg) for lg in langs]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    expr = F.when(best <= 0, F.lit("und"))
+    for lg, sc in zip(langs, scores):
+        expr = expr.when(sc == best, F.lit(lg))
+    return expr
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token estimate without a tokenizer: word-piece count where a
+    word of length L contributes ceil(L/4) pieces plus standalone
+    punctuation/digit runs. Deterministic, vectorized, ~GPT-tokenizer-order
+    accurate for budgeting (the reference uses an HF tokenizer, F17 — that
+    stays available as a pandas-UDF plugin where exactness matters)."""
+    words = whitespace_tokens(text)
+    word_pieces = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+    punct_runs = F.size(F.filter(F.split(text, r"[\w\s]+"), lambda s: s != ""))
+    return (word_pieces + punct_runs).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: mean word length in a sane band,
+    punctuation ratio not extreme, stopword evidence present, length band.
+    Mirrors the C4/Gopher-style rule families as one deterministic score."""
+    n_words = word_count(text)
+    n_chars = F.length(text)
+    mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words.cast("double")).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    sw = F.greatest(*[stopword_ratio(text, lg) for lg in _STOPWORDS])
+    len_ok = F.when((n_words >= 5) & (n_words <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wordlen_ok = F.when((mean_word_len >= 3.0) & (mean_word_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(sw > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + wordlen_ok + punct_ok + sw_ok) / F.lit(4.0)
+
+
+def doc_fingerprint(text: Column, ngram: int = 8) -> Column:
+    """Document fingerprint: lexicographic-min md5 over character n-grams of
+    the normalized text (a winnowing-style rolling-hash min). Identical and
+    near-boilerplate documents collide; robust to leading/trailing noise
+    shorter than the window. Falls back to md5(text) for short docs."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    length = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(ngram - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(ngram)))
+    return F.array_min(F.transform(grams, F.md5))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-analysis columns at once (single pass over the text)."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        word_count(t).alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        detect_language(t).alias("lang_detected"),
+        quality_score(t).alias("quality"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

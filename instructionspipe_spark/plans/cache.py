@@ -1,0 +1,76 @@
+"""Persistent LLM response cache as a table-join protocol (SURVEY.md L5/J5).
+
+The reference memoizes completions in an in-process LRU keyed by
+sha256(chatml) (``llm_cli.py:101-110``, ``cache.py:24-62``) — lost on exit,
+invisible to other workers. Here the cache is a parquet table and the memo
+becomes pure dataflow:
+
+1. key every row: ``sha2(prompt, 256)``;
+2. ``dropDuplicates(key)`` — identical prompts across the whole dataset
+   collapse to ONE model call (the reference would call once per record
+   sequence-position, cache hits only within a process);
+3. left-anti join distinct keys against the cache table -> misses;
+4. run the kernel on misses only; append results to the cache table
+   (append-only + dedup-on-read makes concurrent writers safe);
+5. left join the original rows with cache ∪ fresh on the key.
+
+At scale both joins are hash joins on a uniformly distributed 256-bit key —
+no skew by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CACHE_SCHEMA = T.StructType(
+    [T.StructField("cache_key", T.StringType()), T.StructField("completion", T.StringType())]
+)
+
+
+def _read_cache(spark: SparkSession, cache_path: str) -> DataFrame:
+    if os.path.exists(cache_path):
+        df = spark.read.schema(CACHE_SCHEMA).parquet(cache_path)
+        # Append-only table: concurrent writers may duplicate keys; the read
+        # side resolves deterministically (completions for a key are
+        # identical by construction, min is a tie-break not a choice).
+        return df.groupBy("cache_key").agg(F.min("completion").alias("completion"))
+    return spark.createDataFrame([], CACHE_SCHEMA)
+
+
+def cached_llm_call(
+    df: DataFrame,
+    prompt_col: str,
+    out_col: str,
+    llm,
+    cache_path: str | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Completion of ``prompt_col`` into ``out_col`` through the cache-table
+    protocol. With ``cache_path=None`` the cache step is skipped but the
+    dedup-before-call collapse still applies."""
+    spark = spark or df.sparkSession
+    keyed = df.withColumn("__cache_key", F.sha2(F.col(prompt_col), 256))
+    distinct_prompts = keyed.select(
+        F.col("__cache_key").alias("cache_key"), F.col(prompt_col).alias("__prompt")
+    ).dropDuplicates(["cache_key"])
+
+    cache = _read_cache(spark, cache_path) if cache_path else spark.createDataFrame([], CACHE_SCHEMA)
+    misses = distinct_prompts.join(cache, "cache_key", "left_anti")
+    fresh = llm.complete_df(misses, "__prompt", "completion").select("cache_key", "completion")
+
+    if cache_path:
+        fresh.write.mode("append").parquet(cache_path)
+        answers = _read_cache(spark, cache_path)
+    else:
+        answers = cache.unionByName(fresh)
+
+    out = (
+        keyed.join(answers, keyed["__cache_key"] == answers["cache_key"], "left")
+        .drop("cache_key", "__cache_key")
+        .withColumnRenamed("completion", out_col)
+    )
+    return out

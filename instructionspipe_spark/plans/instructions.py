@@ -1,0 +1,67 @@
+"""Instruction config model.
+
+Faithful to the reference's pydantic ``Instruction``
+(``src/python/instructionspipe/instructions.py:18-48``: name, input_desc,
+output_desc, output_fmt, content, role, examples, knowledge, scope, model)
+but as stdlib dataclasses — the runtime fields (msgs, finished, stage,
+session_id) are not config here; lineage is data, produced by the compiler.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Instruction:
+    """One named LLM instruction applied to a scope of input fields."""
+
+    name: str
+    scope: tuple[str, ...] = ()
+    content: str | None = None
+    role: str | None = None
+    input_desc: str | None = None
+    output_desc: str | None = None
+    output_fmt: str | None = None
+    examples: tuple[str, ...] = ()
+    knowledge: tuple[str, ...] = ()
+    model: str | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Instruction":
+        return cls(
+            name=d["name"],
+            scope=tuple(d.get("scope") or ()),
+            content=d.get("content"),
+            role=d.get("role"),
+            input_desc=d.get("input_desc"),
+            output_desc=d.get("output_desc"),
+            output_fmt=d.get("output_fmt"),
+            examples=tuple(d.get("examples") or ()),
+            knowledge=tuple(d.get("knowledge") or ()),
+            model=d.get("model"),
+        )
+
+
+@dataclass(frozen=True)
+class Pipeline:
+    """Stages of instructions — stage 0 maps over record fields, each later
+    stage's scope names outputs of the previous stage (the reference ships
+    exactly [map, reduce]; chained MRs generalize for free here)."""
+
+    stages: tuple[tuple[Instruction, ...], ...] = field(default_factory=tuple)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Pipeline":
+        stages = tuple(
+            tuple(Instruction.from_dict(i) for i in stage) for stage in d["pipe"]
+        )
+        return cls(stages=stages)
+
+
+def load_pipeline(path: str) -> Pipeline:
+    """Load a pipeline config JSON (shape: {"pipe": [[instr...], [instr...]]},
+    the reference's demo_configs/mapreduce_summ/ehr.json layout)."""
+    with open(path) as f:
+        return Pipeline.from_dict(json.load(f))

@@ -1,0 +1,1026 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark query, DuckDB
+oracle SQL) pair for the driver's correctness harness.
+
+Contracts this file enforces everywhere:
+
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the harness sorts columns by name before value-hashing);
+- double aggregates are rounded (ROUND(x, 2..6)) on BOTH sides so summation
+  order can never flip a hash;
+- anything pseudo-random is md5-derived from data (operators/sampling.py),
+  so the oracle reproduces it exactly;
+- oracle SQL for hash-heavy operators (minhash, simhash, LSH, mock-LLM
+  pipeline) is *generated from the same Python constants* as the Spark
+  expressions — parity by construction, not by hand-sync.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from instructionspipe_spark.catalog import load_tables
+from instructionspipe_spark import operators as ops
+from instructionspipe_spark import functions as fns
+from instructionspipe_spark.operators.dedup import _perm_constants, _MOD
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str):
+    tables = load_tables(spark, sf_dir, names or None)
+    return [tables[n] for n in names]
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations — TPC-H-shaped (the SQL surface the judge harness needs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter (pushed to parquet), map-side partial
+    agg, single shuffle on the 4-group key."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_orders",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-k.
+    customer side is small after the filter => broadcast; top-k executes as
+    TakeOrdered, no full sort."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join. region/nation/customer broadcast up the
+    chain; only orders⋈lineitem shuffles."""
+    region, nation, customer, orders, lineitem = _t(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
+    )
+    return (
+        F.broadcast(region.filter(F.col("r_name") == "ASIA"))
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (SURVEY.md §2.4 'required by harness' group)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_dims_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_dims_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim star join (J2 analog: lookup by key against a small
+    config/dim table)."""
+    customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_semi_anti",
+    oracle="""
+    WITH with_orders AS (
+        SELECT COUNT(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ),
+    without_orders AS (
+        SELECT COUNT(*) AS n FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT (SELECT n FROM with_orders) AS n_with_orders,
+           (SELECT n FROM without_orders) AS n_without_orders
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (the cache-protocol join primitives, J5)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    semi = customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi").count()
+    anti = customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "n_with_orders BIGINT, n_without_orders BIGINT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (ranking window; G6's pattern)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_lag_running",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value, 2) AS value,
+           ROUND(COALESCE(LAG(value) OVER w, 0.0), 2) AS prev_value,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / running sum / moving average over event time per user."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value"), 2).alias("value"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("prev_value"),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_sum"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_operations",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+         u AS (SELECT nationkey FROM cn UNION SELECT nationkey FROM sn),
+         i AS (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn),
+         e AS (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+    SELECT (SELECT COUNT(*) FROM u) AS n_union,
+           (SELECT COUNT(*) FROM i) AS n_intersect,
+           (SELECT COUNT(*) FROM e) AS n_except
+    """,
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    cn = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return spark.createDataFrame(
+        [
+            (
+                cn.union(sn).distinct().count(),
+                cn.intersect(sn).count(),
+                cn.exceptAll(sn).distinct().count(),
+            )
+        ],
+        "n_union BIGINT, n_intersect BIGINT, n_except BIGINT",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scope_projection",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN text   IS NULL OR text   IN ('   ', '', ' ', 'NA', 'N/A', chr(10)) THEN NULL ELSE text   END AS text,
+           CASE WHEN lang   IS NULL OR lang   IN ('   ', '', ' ', 'NA', 'N/A', chr(10)) THEN NULL ELSE lang   END AS lang,
+           CASE WHEN source IS NULL OR source IN ('   ', '', ' ', 'NA', 'N/A', chr(10)) THEN NULL ELSE source END AS source
+    FROM documents
+    """,
+)
+def scope_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: scope projection with semantic-null canonicalization."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.scope_project(documents, ["text", "lang", "source"], keep=["doc_id"])
+
+
+@query(
+    "low_length_filter",
+    oracle=r"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) >= 40
+    """,
+)
+def low_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: drop docs under 40 whitespace words."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.filter(fns.word_count(F.col("text")) >= 40).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Grouping / dedup / sampling / splitting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "group_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G8: group-by-key with counts (distribution check is this + sort)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+@query(
+    "exact_dedup_first",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def exact_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 with a deterministic survivor (min doc_id per group)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.exact_dedup(documents, ["lang", "source"], ["doc_id"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "capped_group_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('2' || '|' || CAST(doc_id AS VARCHAR))
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def capped_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: per-group capped sample, seed=2 (reference default)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.capped_group_sample(documents, ["lang"], 5, seed=2, id_cols=["doc_id"]).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "seeded_shuffle_head",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    ORDER BY md5('42' || '|' || CAST(doc_id AS VARCHAR))
+    LIMIT 20
+    """,
+)
+def seeded_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: deterministic seeded shuffle + head."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.seeded_head(documents, 20, seed=42, id_cols=["doc_id"]).select("doc_id", "lang")
+
+
+@query(
+    "grouped_split",
+    oracle="""
+    WITH keys AS (
+        SELECT user_id,
+               PERCENT_RANK() OVER (ORDER BY md5('42' || '|' || CAST(user_id AS VARCHAR))) AS pr
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    assigned AS (
+        SELECT user_id,
+               CASE WHEN pr < 0.8 THEN 'train' WHEN pr < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM keys
+    )
+    SELECT a.split AS split, COUNT(DISTINCT e.user_id) AS n_users, COUNT(*) AS n_events
+    FROM events e JOIN assigned a ON e.user_id = a.user_id
+    GROUP BY a.split
+    """,
+)
+def grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: leak-free grouped split, summarized per split."""
+    (events,) = _t(spark, sf_dir, "events")
+    split = ops.grouped_split(events, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return split.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL mirror helpers (shared by the hash-based oracle generators)
+# ---------------------------------------------------------------------------
+
+_INVALID_SQL = "'   ', '', ' ', 'NA', 'N/A', chr(10)"
+
+
+def _norm_sql(col: str) -> str:
+    r"""SQL mirror of functions.text.char_ngrams normalization:
+    strip punctuation, lowercase, collapse whitespace, trim."""
+    return (
+        f"trim(regexp_replace(lower(regexp_replace({col}, '[^\\w\\s]|_', '', 'g')),"
+        f" '\\s+', ' ', 'g'))"
+    )
+
+
+def _shingles_sql(col: str, n: int = 3) -> str:
+    """SQL mirror of distinct char n-grams over the normalized text."""
+    norm = _norm_sql(col)
+    return (
+        f"list_distinct([substr(t.__norm, i, {n}) for i in range(1, greatest(len(t.__norm) - {n - 1}, 0) + 1)])"
+    ), norm
+
+
+def _hash48_sql(expr: str) -> str:
+    """SQL mirror of operators.dedup.base_hash48."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 12) AS BIGINT)"
+
+
+def _minhash_sig_sql(num_perm: int) -> str:
+    """SQL mirror of minhash_signature over a list column __hashes."""
+    a_const, b_const = _perm_constants(num_perm)
+    elems = ", ".join(
+        f"list_min(list_transform(__hashes, h -> ({a_const[i]} * h + {b_const[i]}) % {_MOD}))"
+        for i in range(num_perm)
+    )
+    return f"[{elems}]"
+
+
+# ---------------------------------------------------------------------------
+# North-star: dedup family
+# ---------------------------------------------------------------------------
+
+
+def _minhash_base_cte(num_perm: int, ngram: int = 3) -> str:
+    """Shared CTE prefix: documents -> normalized text -> distinct shingles
+    -> 48-bit hashes -> minhash signature (mirrors the Spark expressions)."""
+    return f"""
+    norm AS (
+        SELECT doc_id, {_norm_sql('text')} AS __norm FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([substr(__norm, i, {ngram})
+                              for i in range(1, greatest(len(__norm) - {ngram - 1}, 0) + 1)]) AS __shingles
+        FROM norm
+    ),
+    hashed AS (
+        SELECT doc_id, list_transform(__shingles, s -> {_hash48_sql('s')}) AS __hashes, __shingles
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, {_minhash_sig_sql(num_perm)} AS __sig, __shingles FROM hashed
+    )"""
+
+
+_MINHASH_SIG_ORACLE = (
+    "WITH" + _minhash_base_cte(8) + """
+    SELECT doc_id, __sig[1] AS h0, __sig[2] AS h1, __sig[3] AS h2, __sig[4] AS h3,
+           __sig[5] AS h4, __sig[6] AS h5, __sig[7] AS h6, __sig[8] AS h7
+    FROM sig
+    """
+)
+
+
+@query("minhash_signatures", oracle=_MINHASH_SIG_ORACLE)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 substrate: 8-permutation MinHash signature per document."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    documents = ensure_parallelism(documents)
+    sig = ops.minhash_signature(F.col("text"), num_perm=8)
+    # Two-step projection: materialize the signature once, then extract
+    # elements. A single select would copy the signature expression into all
+    # 8 output columns (CollapseProject keeps the split because the lower
+    # alias is non-cheap and multiply-referenced).
+    with_sig = documents.select("doc_id", sig.alias("__sig"))
+    return with_sig.select(
+        "doc_id", *[F.element_at(F.col("__sig"), i + 1).alias(f"h{i}") for i in range(8)]
+    )
+
+
+def _minhash_dedup_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per_band = num_perm // bands
+    band_exprs = []
+    for b in range(bands):
+        lo, hi = b * rows_per_band + 1, (b + 1) * rows_per_band
+        band_exprs.append(
+            f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{lo}:{hi}], x -> CAST(x AS VARCHAR)), ','))}}"
+        )
+    bands_list = ", ".join(band_exprs)
+    return (
+        "WITH" + _minhash_base_cte(num_perm) + f""",
+    banded AS (
+        SELECT doc_id, u.b AS band_idx, u.h AS band_hash
+        FROM sig, UNNEST([{bands_list}]) AS t(u)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b
+        WHERE CAST(len(list_intersect(sa.__shingles, sb.__shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.__shingles, sb.__shingles))) >= {threshold}
+    ),
+    losers AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+    )
+
+
+@query("minhash_lsh_dedup", oracle=_minhash_dedup_oracle())
+def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: MinHash-LSH near-dedup, jaccard-verified, min-id survivors."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.minhash_lsh_dedup(
+        documents, "doc_id", "text", num_perm=16, bands=4, threshold=0.5
+    ).select("doc_id", "lang")
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(__hashes, h -> ((h >> {b}) % 2) * 2 - 1)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        "WITH" + _minhash_base_cte(1) + f"""
+    SELECT doc_id, {terms} AS simhash FROM hashed
+    """
+    )
+
+
+@query("simhash_fingerprints", oracle=_simhash_oracle())
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprint per document."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    documents = ensure_parallelism(documents)
+    return documents.select("doc_id", ops.simhash(F.col("text"), bits=32).alias("simhash"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(regexp_replace(text, '[^\\w\\s]|_', '', 'g')), '\\s+', ' ', 'g')) AS __norm
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang,
+               list_distinct([substr(__norm, i, 3) for i in range(1, greatest(len(__norm) - 2, 0) + 1)]) AS __shingles
+        FROM norm
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.__shingles, b.__shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.__shingles, b.__shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.__shingles, b.__shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.__shingles, b.__shingles))) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs, blocked by lang."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = ops.ngram_jaccard_pairs(documents, "doc_id", "text", block_col="lang", min_jaccard=0.2)
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: embeddings — near-dup + similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """CAST(
+    list_sum(list_transform(range(1, len(a.__v) + 1), i -> a.__v[i] * b.__v[i]))
+    / (sqrt(list_sum(list_transform(a.__v, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.__v, x -> x * x)))) AS DOUBLE)"""
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS __v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL}, 4) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.8
+    """,
+)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    pairs = ops.embedding_near_dup(embeddings, "vec_id", "embedding", threshold=0.8, block_col="label")
+    return pairs.select("id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+@query(
+    "similarity_brute_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, __v FROM v WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               ROUND({_COS_SQL.replace('b.__v', 'q.__v')}, 4) AS cosine
+        FROM v a, q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors (ANN baseline)."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ops.brute_force_topk(embeddings, queries_df, 10)
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_quality_stats",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS __words
+        FROM documents
+    )
+    SELECT doc_id,
+           len(__words) AS n_words,
+           CAST(list_sum(list_transform(__words, w -> CAST(ceil(len(w) / 4.0) AS BIGINT)))
+                + len(list_filter(string_split_regex(text, '[0-9A-Za-z_\s]+'), s -> s <> '')) AS BIGINT) AS n_tokens
+    FROM base
+    """,
+)
+def token_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word/token counting (F14/F17 analogs) as pure expressions."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return documents.select(
+        "doc_id",
+        fns.word_count(t).alias("n_words"),
+        ops.token_count(t).alias("n_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS __n FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+               [substr(__n, i, 8) for i in range(1, greatest(len(__n) - 7, 1) + 1)],
+               g -> md5(g))) AS fingerprint
+    FROM norm
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min-hash document fingerprint."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    documents = ensure_parallelism(documents)
+    return documents.select("doc_id", ops.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "cache_keys",
+    oracle="""
+    SELECT doc_id, sha256(text) AS cache_key FROM documents
+    """,
+)
+def cache_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: sha256 response-cache key (the L5 cache-table join key)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select("doc_id", fns.cache_key(F.col("text")).alias("cache_key"))
+
+
+@query(
+    "chatml_flatten",
+    oracle="""
+    SELECT doc_id,
+           '<system>summarize</system><user>' || text || '</user>' AS chat_text
+    FROM documents
+    """,
+)
+def chatml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+F11: build ChatML then flatten to <role>content</role> text."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    cm = fns.make_chatml(fns.msg("system", F.lit("summarize")), fns.msg("user", F.col("text")))
+    return documents.select("doc_id", fns.chatml_to_text(cm).alias("chat_text"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators (F19 upgrade): as-of join, range join, event windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_purchases",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, ROUND(p.value, 2) AS last_purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each view event gets the latest at-or-before purchase
+    value of the same user (DuckDB validates via native ASOF JOIN)."""
+    (events,) = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    # deterministic tie-break: keep max event_id per (user_id, ts)
+    from pyspark.sql import Window as W
+
+    p = events.filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    p = (
+        p.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("pv"))
+    )
+    out = ops.asof_join(views, p, on="user_id", left_ts="ts", right_ts="ts", right_vals=["pv"])
+    return out.select(
+        "event_id", "user_id", F.round(F.col("pv"), 2).alias("last_purchase_value")
+    )
+
+
+@query(
+    "range_join_events",
+    oracle="""
+    SELECT l.event_id, COUNT(*) AS n_following
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 200) l
+    JOIN events r
+      ON r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR AND r.user_id = l.user_id
+    GROUP BY l.event_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events of the same user within the following hour,
+    executed with the coarse-time-bin equi-join rewrite."""
+    (events,) = _t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") < 200).select("event_id", "user_id", "ts")
+    joined = ops.range_join(
+        left,
+        events.select(F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")),
+        "ts",
+        "r_ts",
+        F.expr("INTERVAL 0 SECONDS"),
+        F.expr("INTERVAL 1 HOUR"),
+        bin_seconds=3600,
+    ).filter(F.col("r_user") == F.col("user_id"))
+    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_following"))
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (the batch twin of
+    streaming.tumbling_window_agg — same expressions)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Judge metric aggregation (the ported DuckDB SQL surface, A1-A11)
+# ---------------------------------------------------------------------------
+
+_JUDGE_SQL_BODY = """
+WITH judge_results AS (
+    SELECT event_type AS name,
+           CAST(CASE WHEN value >= 50 THEN 1 ELSE 0 END AS DOUBLE) AS factuality,
+           LEAST(value / 100.0, 1.0) AS eligibility
+    FROM events
+),
+scored AS (
+    SELECT name, factuality, eligibility,
+           CAST(CASE WHEN factuality >= 0.5 THEN 1 ELSE 0 END AS DOUBLE) AS high_factuality
+    FROM judge_results
+),
+per_instruction AS (
+    SELECT name,
+           ROUND(SUM(factuality) / COUNT(1), 2) AS avg_factuality,
+           MIN(factuality) AS min_factuality,
+           MAX(factuality) AS max_factuality,
+           ROUND(SUM(high_factuality) / COUNT(1), 2) AS high_factuality_rate,
+           ROUND(SUM(eligibility) / COUNT(1), 2) AS avg_eligibility,
+           COUNT(1) AS n
+    FROM scored
+    GROUP BY name
+)
+SELECT * FROM per_instruction
+"""
+
+
+@query("judge_metrics", oracle=_JUDGE_SQL_BODY)
+def judge_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's judge metric CTE (eval_with_facts.py:22-81) run as
+    Spark SQL over label->score mapped results (F8 semantics on events)."""
+    from instructionspipe_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_JUDGE_SQL_BODY)
+
+
+@query(
+    "cost_estimate",
+    oracle=r"""
+    WITH base AS (
+        SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS __words, text
+        FROM documents
+    ),
+    toks AS (
+        SELECT CAST(list_sum(list_transform(__words, w -> CAST(ceil(len(w) / 4.0) AS BIGINT)))
+                    + len(list_filter(string_split_regex(text, '[0-9A-Za-z_\s]+'), s -> s <> '')) AS BIGINT) AS n_tokens
+        FROM base
+    )
+    SELECT COUNT(1) AS n_docs,
+           ROUND(AVG(n_tokens), 4) AS avg_in_tokens,
+           ROUND(COUNT(1) * AVG(n_tokens) / 1000000.0 * 0.15
+                 + COUNT(1) * (0.7 * AVG(n_tokens)) / 1000000.0 * 0.60, 6) AS est_cost_usd
+    FROM toks
+    """,
+)
+def cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: the reference's cost model (cost_estimator_inf.py:63-77) with the
+    expression-based token counter; ratio=0.7, $0.15/$0.60 per 1M tokens."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(ops.token_count(F.col("text")).alias("n_tokens"))
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_in_tokens"),
+        F.round(
+            F.count(F.lit(1)) * F.avg("n_tokens") / F.lit(1000000.0) * F.lit(0.15)
+            + F.count(F.lit(1)) * (F.lit(0.7) * F.avg("n_tokens")) / F.lit(1000000.0) * F.lit(0.60),
+            6,
+        ).alias("est_cost_usd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 The instruction map/reduce pipeline itself (MockLlm — fully checkable)
+# ---------------------------------------------------------------------------
+
+from instructionspipe_spark.plans.instructions import Instruction, Pipeline
+from instructionspipe_spark.plans.compiler import run_pipeline
+from instructionspipe_spark.plans.llm_kernel import MockLlm
+from instructionspipe_spark.plans.oracle_compiler import pipeline_sql
+
+# A documents-table analog of the reference's EHR summarization config
+# (demo_configs/mapreduce_summ/ehr.json): two map instructions over scoped
+# fields, one reduce instruction over the map outputs.
+DOC_PIPELINE = Pipeline(
+    stages=(
+        (
+            Instruction(
+                name="summary",
+                scope=("text",),
+                role="summarizer",
+                content="Summarize the document in two sentences.",
+                output_fmt="plain text",
+            ),
+            Instruction(
+                name="keywords",
+                scope=("text", "lang"),
+                role="indexer",
+                content="List five keywords.",
+                output_desc="comma-separated keywords",
+            ),
+        ),
+        (
+            Instruction(
+                name="report",
+                scope=("summary", "keywords"),
+                role="editor",
+                content="Merge the sections into a final report.",
+            ),
+        ),
+    )
+)
+
+_MAPREDUCE_ORACLE = pipeline_sql(
+    DOC_PIPELINE, "documents", "doc_id", ("text", "lang")
+)
+
+
+@query("instructions_mapreduce", oracle=_MAPREDUCE_ORACLE)
+def instructions_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship: config-driven LLM map/reduce compiled to a
+    DataFrame plan (impl/mapreduce/v0.py:28-70 semantics) with the
+    deterministic MockLlm — end-to-end oracle-checkable, zero shuffles."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = run_pipeline(documents, DOC_PIPELINE, MockLlm())
+    return out.select("doc_id", "summary", "keywords", "report", "result")

@@ -1,0 +1,81 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference is a single-process asyncio program (SURVEY.md §3.1); our engine
+replaces that with a SparkSession configured for a real cluster: AQE on
+(runtime re-plan, skew-join splitting, partition coalescing), Arrow for every
+Python<->JVM exchange, UTC session time zone so results are
+environment-independent, and shuffle partitions sized by env so the same code
+runs on local[32] and on a 1000-executor cluster (where one would raise
+``spark.sql.shuffle.partitions`` / rely on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "instructionspipe-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    All settings are cluster-safe: on a real deployment the caller passes
+    ``master=None`` (inherit spark-submit) and sizes shuffle partitions to
+    ~2-3x total cores; AQE coalesces the excess at runtime.
+    """
+    cpus = int(DEFAULT_CPUS)
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # Runtime adaptivity: re-plan post-shuffle (partition coalescing,
+        # skew-join splitting, dynamic broadcast) — essential at 100 TB where
+        # static planning over stale stats misestimates.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow everywhere Python touches data: pandas UDFs, toPandas,
+        # createDataFrame from pandas. Row-at-a-time pickling is never used.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic wall clock: timestamps never depend on host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: dims (region/nation/supplier/config tables)
+        # broadcast instead of shuffling the fact side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Readable truncated plans in logs.
+        .config("spark.sql.debug.maxToStringFields", "200")
+        # Some upstream parquet is written with nanosecond timestamps, which
+        # Spark refuses by default; read them as long and let the catalog
+        # rebuild TimestampType (catalog.load_tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_NO_LOCAL_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots. Single large unsplittable files (one parquet row
+    group, gzip JSONL) otherwise serialize expression-heavy operators onto
+    one task; at real scale inputs arrive as many files and this is a no-op.
+    Results of every operator in this package are partitioning-independent,
+    so this never changes output."""
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

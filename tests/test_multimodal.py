@@ -1,0 +1,63 @@
+"""Multimodal column plumbing tests — binary media + typed metadata through
+mapInPandas kernels (decode stubbed deterministically; see
+operators/multimodal.py docstring)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from instructionspipe_spark.operators import multimodal as mm
+
+
+def _media_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("meta", mm.MEDIA_META_TYPE),
+        ]
+    )
+    rows = [
+        (1, b"image-bytes-aaaa", ("image", "png", 640, 480, 1, None, None)),
+        (2, b"image-bytes-aaaa", ("image", "png", 640, 480, 1, None, None)),  # exact dup
+        (3, b"video-bytes-bbbb", ("video", "mp4", 1280, 720, 30, None, 1000)),
+        (4, None, None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_extract_features_deterministic(spark):
+    df = _media_df(spark)
+    out = {r["media_id"]: r for r in mm.extract_features(df).collect()}
+    expected = hashlib.sha256(b"image-bytes-aaaa").hexdigest()
+    assert out[1]["content_hash"] == expected == out[2]["content_hash"]
+    assert out[1]["n_bytes"] == 16
+    assert len(out[1]["features"]) == mm.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in out[1]["features"])
+    assert out[4]["content_hash"] is None and out[4]["features"] is None
+
+
+def test_resize_updates_meta_and_requires_codec(spark):
+    df = _media_df(spark).filter(F.col("media_id") == 1)
+    out = mm.resize_images(df, target_width=224, target_height=224, resize_fn=mm.passthrough_resize).first()
+    assert out["meta"]["width"] == 224 and out["meta"]["height"] == 224
+    assert bytes(out["content"]) == b"image-bytes-aaaa"
+    # without a codec, touching real bytes raises (the stub contract)
+    with pytest.raises(Exception, match="codec not available"):
+        mm.resize_images(df).collect()
+
+
+def test_sample_frames_explodes_by_meta(spark):
+    df = _media_df(spark).filter(F.col("media_id") == 3)
+    out = mm.sample_frames(df, every_nth=10).select("media_id", "frame_index").collect()
+    assert sorted(r["frame_index"] for r in out) == [0, 10, 20]
+
+
+def test_media_dedup(spark):
+    df = _media_df(spark).filter(F.col("content").isNotNull())
+    kept = sorted(r["media_id"] for r in mm.media_dedup(df).collect())
+    assert kept == [1, 3]  # id 2 is a byte-identical dup of 1

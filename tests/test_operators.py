@@ -1,0 +1,176 @@
+"""Unit tests for the operator surface (SURVEY.md §2.2-2.7 + north-star ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    from instructionspipe_spark.operators.dedup import exact_dedup, multi_key_dedup
+
+    df = spark.createDataFrame(
+        [("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"), ("k2", 9, "z")], ["k", "i", "v"]
+    )
+    out = exact_dedup(df, ["k"], ["i"]).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in out] == [("k1", "a"), ("k2", "z")]
+    # multi-key fold: dedup by v then by k
+    out2 = multi_key_dedup(df, [["v"], ["k"]], ["i"]).orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in out2] == [("k1", "a"), ("k2", "z")]
+
+
+def test_minhash_similar_collide_dissimilar_dont(spark):
+    """Port of the reference's only unit test (etl_slimpajama_dc_proc.py:88-100):
+    near-duplicate sentences must collide in LSH; unrelated text must not."""
+    from instructionspipe_spark.operators.dedup import minhash_lsh_dedup
+
+    a = "The quick brown fox jumps over the lazy dog near the river bank today"
+    b = "The quick brown fox jumps over the lazy dog near the river bank"  # near-dup of a
+    c = "Completely different content about quantum computing and linear algebra"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["id", "text"])
+    kept = minhash_lsh_dedup(df, "id", "text", threshold=0.5).select("id").collect()
+    ids = sorted(r["id"] for r in kept)
+    assert ids == [1, 3]  # b dropped (larger id of the near-dup pair), c kept
+
+
+def test_simhash_hamming_property(spark):
+    from instructionspipe_spark.operators.dedup import simhash
+
+    a = "The quick brown fox jumps over the lazy dog near the river bank today"
+    b = "The quick brown fox jumps over the lazy dog near the river bank"
+    c = "Completely different content about quantum computing and linear algebra"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["id", "text"])
+    sigs = {r["id"]: r["s"] for r in df.select("id", simhash(F.col("text")).alias("s")).collect()}
+    ham_ab = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_ac = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_capped_group_sample(spark):
+    from instructionspipe_spark.operators.sampling import capped_group_sample
+
+    rows = [("g1", i) for i in range(10)] + [("g2", i) for i in range(2)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = capped_group_sample(df, ["k"], max_group_size=3, seed=2)
+    counts = {r["k"]: r["count"] for r in out.groupBy("k").count().collect()}
+    assert counts == {"g1": 3, "g2": 2}
+    # determinism: same seed -> same sample, regardless of partitioning
+    again = capped_group_sample(df.repartition(7), ["k"], max_group_size=3, seed=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_seeded_head_deterministic(spark):
+    from instructionspipe_spark.operators.sampling import seeded_head
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    a = [r["id"] for r in seeded_head(df, 5, seed=42, id_cols=["id"]).collect()]
+    b = [r["id"] for r in seeded_head(df.repartition(13), 5, seed=42, id_cols=["id"]).collect()]
+    assert a == b and len(a) == 5
+
+
+def test_grouped_split_no_leakage(spark):
+    from instructionspipe_spark.operators.splitting import grouped_split
+
+    rows = [(f"k{i % 20}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = grouped_split(df, "k", {"train": 0.6, "val": 0.2, "test": 0.2}, seed=42)
+    # every key in exactly one split
+    per_key = out.groupBy("k").agg(F.countDistinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_key)
+    # all three splits materialize and rows are conserved
+    split_counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(split_counts) == {"train", "val", "test"}
+    assert sum(split_counts.values()) == 200
+
+
+def test_asof_join_backward_and_forward(spark):
+    from instructionspipe_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 5), ("b", 10)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("a", 8, "r8"), ("a", 15, "r15"), ("b", 30, "r30")], ["k", "t", "val"]
+    )
+    back = asof_join(
+        left, right.withColumnRenamed("t", "rt"), "k", "t", "rt", ["val"], "backward"
+    )
+    got = {(r["k"], r["t"]): r["val"] for r in back.collect()}
+    assert got == {("a", 5): None, ("a", 10): "r8", ("a", 20): "r15", ("b", 10): None}
+    fwd = asof_join(
+        left, right.withColumnRenamed("t", "rt"), "k", "t", "rt", ["val"], "forward"
+    )
+    got_f = {(r["k"], r["t"]): r["val"] for r in fwd.collect()}
+    assert got_f == {("a", 5): "r8", ("a", 10): "r15", ("a", 20): None, ("b", 10): "r30"}
+
+
+def test_asof_join_rejects_column_collision(spark):
+    from instructionspipe_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([("a", 1, "x")], ["k", "t", "val"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, "k", "t", "t", ["val"])
+
+
+def test_range_join_binned_equals_unbinned(spark):
+    from instructionspipe_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")], ["lid", "ts"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 00:30:00"), (11, "2024-01-01 00:59:00"), (12, "2024-01-01 01:30:00")],
+        ["rid", "ts"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    lower, upper = F.expr("INTERVAL 0 SECONDS"), F.expr("INTERVAL 1 HOURS")
+    plain = range_join(left, right, "ts", "ts", lower, upper)
+    binned = range_join(left, right, "ts", "ts", lower, upper, bin_seconds=600)
+    key = lambda rows: sorted((r["lid"], r["rid"]) for r in rows)
+    assert key(plain.collect()) == key(binned.collect()) == [(1, 10), (1, 11), (2, 12)]
+
+
+def test_brute_force_topk(spark):
+    from instructionspipe_spark.operators.similarity import brute_force_topk
+
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], ["query_id", "query_vec"])
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [0.9, 0.0]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = brute_force_topk(docs, qs, k=2).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [3, 1]  # cosine(3)=1.0 exact; ties broken by id asc
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_text_stats(spark):
+    from instructionspipe_spark.operators.textstats import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog are in the house with a mouse."), (2, "zzz qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text_stats(df, "text").collect()}
+    assert out[1]["n_words"] == 12
+    assert out[1]["n_tokens"] >= 12
+    assert out[1]["quality"] > out[2]["quality"]
+    assert out[1]["lang_detected"] == "en"
+    assert out[2]["lang_detected"] == "und"
+
+
+def test_scope_projection(spark, tables):
+    from instructionspipe_spark.operators.projection import scope_project
+
+    df = tables["documents"]
+    out = scope_project(df, ["text", "lang"], keep=["doc_id"])
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+
+
+def test_group_counts_matches_duck(spark, tables, duck):
+    from instructionspipe_spark.operators.grouping import group_counts
+    from tests.conftest import assert_df_equal
+
+    out = group_counts(tables["documents"], ["lang"])
+    assert_df_equal(
+        out, duck.query("SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang")
+    )
