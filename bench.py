@@ -36,7 +36,10 @@ BENCH_QUERIES = [
     "token_quality_stats",
     "asof_join_purchases",
     "tumbling_window_agg",
+    "session_windows",
+    "sliding_windows",
     "instructions_mapreduce",
+    "self_verification",
 ]
 
 

@@ -53,7 +53,10 @@ def load_tables(
         if os.path.exists(path):
             df = spark.read.parquet(path)
             for col in _nanos_ts_columns(path):
-                df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+                # Integer div, NOT `/ 1000` in double: nanosecond epochs
+                # (~1.7e18) exceed double's 2^53 integer precision, so float
+                # division is off by 1 microsecond on some values.
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
             out[name] = df
     return out
 

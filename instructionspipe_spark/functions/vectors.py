@@ -31,3 +31,20 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL when either vector has zero norm."""
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), dot_product(a, b) / (na * nb))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalized copy of the vector; NULL for zero-norm vectors.
+
+    For pairwise similarity (joins), normalize each side ONCE per row and
+    take plain dot products per pair — O(rows x dim) instead of
+    O(pairs x dim) norm recomputation. The norm is let-bound via a 1-element
+    array so it is evaluated once per row, not once per element."""
+    v = _c(a)
+    return F.element_at(
+        F.transform(
+            F.array(l2_norm(v)),
+            lambda n: F.when(n > 0, F.transform(v, lambda x: x.cast("double") / n)),
+        ),
+        1,
+    )

@@ -146,30 +146,52 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(id_a < id_b)`` sharing >= 1 LSH band.
 
-    Plan shape at scale: one narrow projection -> explode bands (x``bands``
-    rows) -> self-join on (band_idx, band_hash). Band hashes are md5 outputs,
-    so the join keys are uniformly distributed — the shuffle cannot skew
-    except on true duplicate explosions, which AQE skew-join splits.
+    Each bucket member is paired with the bucket's min-id representative
+    only — |bucket|-1 pairs instead of the all-pairs |bucket|^2/2. This is
+    the property that keeps near-dedup alive at 100 TB: boilerplate-heavy
+    corpora produce mega-buckets (5k synthetic docs already yield 2.9M
+    all-pairs candidates), and representative pairing makes candidate count
+    linear in input size while still dropping every bucket member that
+    verifies against the representative. Plan shape: narrow projection ->
+    posexplode bands -> window-min over (band_idx, band_hash) -> filter;
+    one shuffle on uniformly-distributed md5 band keys.
     """
     from instructionspipe_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
     rows_per_band = num_perm // bands
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram)
-    banded = (
-        df.select(F.col(id_col).alias("__id"), minhash_band_hashes(sig, bands, rows_per_band).alias("__bands"))
-        .select("__id", F.posexplode("__bands").alias("__band_idx", "__band_hash"))
+    # Stage order matters: materialize the (expensive) signature into a
+    # column, explode the cheap band INDEX, then hash the signature slice
+    # per exploded row. Exploding a precomputed band-hash array instead puts
+    # the whole nested-lambda expression under Generate, which evaluates
+    # interpreted (no codegen) — measured ~5x slower.
+    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    exploded = with_sig.select(
+        "__id", "__sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band_idx")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    banded = exploded.select(
+        "__id",
+        "__band_idx",
+        F.md5(
+            F.concat(
+                F.col("__band_idx").cast("string"),
+                F.lit("|"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("__sig"), F.col("__band_idx") * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ).alias("__band_hash"),
+    )
+    w = Window.partitionBy("__band_idx", "__band_hash")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.__band_idx") == F.col("b.__band_idx"))
-            & (F.col("a.__band_hash") == F.col("b.__band_hash"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        banded.withColumn("__min_id", F.min("__id").over(w))
+        .filter(F.col("__id") > F.col("__min_id"))
+        .select(F.col("__min_id").alias("id_a"), F.col("__id").alias("id_b"))
         .distinct()
     )
     return pairs
@@ -196,6 +218,9 @@ def minhash_lsh_dedup(
     survivor choice (min id) replaces the reference's insertion-order rule
     with a deterministic one. Left-anti join keeps the plan shuffle-minimal.
     """
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, ngram)
     if threshold is not None:
         sh = df.select(
@@ -279,6 +304,9 @@ def ngram_jaccard_pairs(
     ``block_col`` is the blocking key (only rows sharing it are compared) —
     mandatory at scale; the unblocked form is O(n^2) and only for tests.
     """
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("__id"),
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
@@ -308,8 +336,15 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column; keep-min-id
     dedup composes via a left-anti join exactly like minhash_lsh_dedup.
-    At scale, block first (LSH / IVF bucket from operators.similarity)."""
-    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")]
+    At scale, block first (LSH / IVF bucket from operators.similarity).
+
+    Vectors are unit-normalized per ROW before the pairwise join, so each
+    pair costs one dot product — norms are never recomputed per pair."""
+    from instructionspipe_spark.functions.vectors import dot_product, l2_normalize
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    cols = [F.col(id_col).alias("__id"), l2_normalize(F.col(vec_col)).alias("__nv")]
     if block_col:
         cols.append(F.col(block_col).alias("__blk"))
     v = df.select(*cols)
@@ -322,7 +357,7 @@ def embedding_near_dup(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+            dot_product(F.col("a.__nv"), F.col("b.__nv")).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )

@@ -36,13 +36,18 @@ def brute_force_topk(
     rank with a window partitioned by query — the only shuffle is on
     query_id, whose cardinality = |queries|.
     """
+    from instructionspipe_spark.functions.vectors import dot_product, l2_normalize
     from instructionspipe_spark.session import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
-    joined = corpus.crossJoin(F.broadcast(queries)).select(
+    # Normalize each side once per row; each of the |C|x|Q| pairs is then a
+    # single dot product (cosine of unit vectors).
+    c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"))
+    q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qnv"))
+    joined = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+        dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
@@ -94,15 +99,24 @@ def lsh_bucketed_topk(
     buckets => ~corpus/2^bits candidates per query). Equi-join on the bucket
     replaces the cross join, so the candidate generation is a plain
     broadcast-hash join at any scale; multi-probe = union over flipped bits."""
+    from instructionspipe_spark.functions.vectors import dot_product, l2_normalize
     from instructionspipe_spark.session import ensure_parallelism
 
     corpus = ensure_parallelism(corpus)
-    c = corpus.withColumn("__bucket", hyperplane_sign_bits(F.col(corpus_vec), n_bits))
-    q = queries.withColumn("__bucket", hyperplane_sign_bits(F.col(query_vec), n_bits))
+    c = corpus.select(
+        F.col(corpus_id),
+        l2_normalize(F.col(corpus_vec)).alias("__cnv"),
+        hyperplane_sign_bits(F.col(corpus_vec), n_bits).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        l2_normalize(F.col(query_vec)).alias("__qnv"),
+        hyperplane_sign_bits(F.col(query_vec), n_bits).alias("__bucket"),
+    )
     joined = c.join(F.broadcast(q), "__bucket").select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine_similarity(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+        dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -56,13 +56,13 @@ def _t(spark: SparkSession, sf_dir: str, *names: str):
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE)      AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(1), 4)      AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(1), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(1), 4)      AS avg_disc,
            COUNT(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -77,15 +77,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            # Decimal sums: double summation is shuffle-fetch-order dependent
+            # run to run; exact decimal accumulation is not. Source values
+            # are <=2-decimal, so DECIMAL(25,6) casts are exact and identical
+            # in Spark and DuckDB.
+            F.round(F.sum(F.col("l_quantity").cast("decimal(25,6)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")), 2).cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 2
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast("decimal(25,6)")
+                ),
+                2,
+            ).cast("double").alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -95,7 +104,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_orders",
     oracle="""
     SELECT l.l_orderkey AS orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate AS orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -115,7 +124,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 2
+            ).cast("double").alias("revenue")
+        )
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
         .select("orderkey", "revenue", "orderdate")
@@ -126,7 +139,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     oracle="""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -149,7 +162,11 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("o_custkey") == F.col("c_custkey"))
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 2
+            ).cast("double").alias("revenue")
+        )
     )
 
 
@@ -158,7 +175,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -168,7 +185,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)")), 2).cast("double").alias("total_price"),
     )
 
 
@@ -582,10 +599,15 @@ def _minhash_dedup_oracle(num_perm: int = 16, bands: int = 4, threshold: float =
         SELECT doc_id, u.b AS band_idx, u.h AS band_hash
         FROM sig, UNNEST([{bands_list}]) AS t(u)
     ),
+    -- bucket-representative pairing (min-id per LSH bucket), mirroring
+    -- operators/dedup.py minhash_lsh_candidates
     pairs AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        SELECT DISTINCT m.min_id AS id_a, a.doc_id AS id_b
+        FROM banded a
+        JOIN (SELECT band_idx, band_hash, MIN(doc_id) AS min_id
+              FROM banded GROUP BY band_idx, band_hash) m
+          ON a.band_idx = m.band_idx AND a.band_hash = m.band_hash
+         AND a.doc_id > m.min_id
     ),
     verified AS (
         SELECT p.id_a, p.id_b
@@ -665,20 +687,23 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # North-star: embeddings — near-dup + similarity search
 # ---------------------------------------------------------------------------
 
-_COS_SQL = """CAST(
-    list_sum(list_transform(range(1, len(a.__v) + 1), i -> a.__v[i] * b.__v[i]))
-    / (sqrt(list_sum(list_transform(a.__v, x -> x * x)))
-       * sqrt(list_sum(list_transform(b.__v, x -> x * x)))) AS DOUBLE)"""
+# Mirrors operators: unit-normalize per row, dot product per pair (same
+# left-to-right double accumulation order as zip_with+aggregate).
+_NORMALIZE_SQL = """list_transform(
+    CAST(embedding AS DOUBLE[]),
+    x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))))"""
+
+_DOT_SQL = "CAST(list_sum(list_transform(range(1, len(a.__nv) + 1), i -> a.__nv[i] * b.__nv[i])) AS DOUBLE)"
 
 
 @query(
     "embedding_near_dup",
     oracle=f"""
-    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS __v FROM embeddings)
+    WITH v AS (SELECT vec_id, label, {_NORMALIZE_SQL} AS __nv FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND({_COS_SQL}, 4) AS cosine
+           ROUND({_DOT_SQL}, 4) AS cosine
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.8
+    WHERE {_DOT_SQL} >= 0.8
     """,
 )
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,11 +716,11 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_brute_topk",
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, __v FROM v WHERE vec_id < 5),
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, __nv FROM v WHERE vec_id < 5),
     scored AS (
         SELECT q.query_id, a.vec_id,
-               ROUND({_COS_SQL.replace('b.__v', 'q.__v')}, 4) AS cosine
+               ROUND({_DOT_SQL.replace('b.__nv', 'q.__nv').replace('a.__nv[i] * q.__nv[i]', 'q.__nv[i] * a.__nv[i]')}, 4) AS cosine
         FROM v a, q
     ),
     ranked AS (
@@ -873,7 +898,7 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -884,7 +909,10 @@ def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2).cast("double").alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -902,7 +930,7 @@ _JUDGE_SQL_BODY = """
 WITH judge_results AS (
     SELECT event_type AS name,
            CAST(CASE WHEN value >= 50 THEN 1 ELSE 0 END AS DOUBLE) AS factuality,
-           LEAST(value / 100.0, 1.0) AS eligibility
+           CAST(LEAST(value / 100.0, 1.0) AS DECIMAL(20,6)) AS eligibility
     FROM events
 ),
 scored AS (
@@ -912,11 +940,11 @@ scored AS (
 ),
 per_instruction AS (
     SELECT name,
-           ROUND(SUM(factuality) / COUNT(1), 2) AS avg_factuality,
+           ROUND(CAST(SUM(CAST(factuality AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 2) AS avg_factuality,
            MIN(factuality) AS min_factuality,
            MAX(factuality) AS max_factuality,
-           ROUND(SUM(high_factuality) / COUNT(1), 2) AS high_factuality_rate,
-           ROUND(SUM(eligibility) / COUNT(1), 2) AS avg_eligibility,
+           ROUND(CAST(SUM(CAST(high_factuality AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 2) AS high_factuality_rate,
+           ROUND(CAST(SUM(eligibility) AS DOUBLE) / COUNT(1), 2) AS avg_eligibility,
            COUNT(1) AS n
     FROM scored
     GROUP BY name
@@ -1024,3 +1052,219 @@ def instructions_mapreduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     out = run_pipeline(documents, DOC_PIPELINE, MockLlm())
     return out.select("doc_id", "summary", "keywords", "report", "result")
+
+
+# ---------------------------------------------------------------------------
+# §2.10 Session & sliding windows (batch twins of the streaming jobs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(1) AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_no
+    """,
+)
+def session_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows over events (gap 30m) — batch twin of
+    streaming.session_window_agg. Oracle is the classic gaps-and-islands
+    rewrite; Spark's session_window end = last event + gap, and an event at
+    exactly prev+gap starts a NEW session (half-open [start, last+gap))."""
+    from instructionspipe_spark.streaming.jobs import session_window_agg
+
+    (events,) = _t(spark, sf_dir, "events")
+    return session_window_agg(events, "ts", "30 minutes", "user_id", watermark="0 seconds")
+
+
+@query(
+    "sliding_windows",
+    oracle="""
+    WITH slid AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - t.k * 900)
+                     * INTERVAL 1 SECOND AS window_start,
+               value
+        FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           COUNT(1) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM slid
+    GROUP BY window_start
+    """,
+)
+def sliding_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 15m slide): each event lands
+    in exactly 4 windows. Oracle materializes the 4 aligned starts per event
+    (the explode-offsets rewrite of F.window)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # Exact decimal SUM (the source data is 2-decimal): double
+            # summation is order-dependent across partitions, and Spark's
+            # round() goes through the double's shortest decimal string while
+            # DuckDB rounds the binary value — at a rounding boundary they
+            # disagree. Decimal arithmetic sidesteps the whole class.
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 extras: cube + approximate distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions (SURVEY.md §2.4 harness extras)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query("approx_distinct")  # no oracle: HLL sketch result is engine-specific
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) per event_type, with exact count beside it
+    for sanity — rows-only driver check (sketches differ across engines)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 L9: self-verification chain (MockLlm -> fully oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _self_verification_oracle() -> str:
+    """Oracle generated from the SAME chain constants as plans/chains.py —
+    each round's completion is md5('mock:' || <role-tagged conversation>)."""
+    from instructionspipe_spark.plans import chains as ch
+
+    extraction_user = (
+        "'Extract the key elements for: ' || COALESCE(CAST(lang AS VARCHAR), '')"
+        " || chr(10) || chr(10) || COALESCE(text, '')"
+    )
+    assert ch.EXTRACTION_TMPL == "Extract the key elements for: __INSTRUCTION__\n\n__CONTEXT__"
+    omission = ch.OMISSION_TMPL.replace("'", "''")
+    attribution = ch.ATTRIBUTION_TMPL.replace("'", "''")
+    return f"""
+    WITH r1 AS (
+        SELECT doc_id, '<user>' || {extraction_user} || '</user>' AS conv1 FROM documents
+    ),
+    e1 AS (SELECT doc_id, conv1, md5('mock:' || conv1) AS extraction FROM r1),
+    e2 AS (
+        SELECT doc_id, extraction,
+               conv1 || '<assistant>' || extraction || '</assistant>'
+                     || '<user>' || '{omission}' || '</user>' AS conv2
+        FROM e1
+    ),
+    e3 AS (SELECT doc_id, extraction, conv2, md5('mock:' || conv2) AS complement FROM e2),
+    e4 AS (
+        SELECT doc_id, extraction, complement,
+               conv2 || '<assistant>' || complement || '</assistant>'
+                     || '<user>' || '{attribution}' || '</user>' AS conv3
+        FROM e3
+    )
+    SELECT doc_id, extraction, complement, md5('mock:' || conv3) AS attribution FROM e4
+    """
+
+
+@query("self_verification", oracle=_self_verification_oracle())
+def self_verification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 self-verification chain: 3 sequential conversation rounds
+    (extraction -> omission -> attribution) threading one ChatML column."""
+    from instructionspipe_spark.plans.chains import self_verification_chain
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = self_verification_chain(documents, "lang", "text")
+    return out.select("doc_id", "extraction", "complement", "attribution")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F5-F7: tag extraction / fence stripping over synthesized wrappers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tag_extraction",
+    oracle="""
+    WITH wrapped AS (
+        SELECT doc_id,
+               '<code>' || substr(text, 1, 40) || '</code> trailing' AS tagged,
+               chr(96) || chr(96) || chr(96) || 'json' || chr(10) || lang
+                   || chr(10) || chr(96) || chr(96) || chr(96) AS fenced
+        FROM documents
+    )
+    SELECT doc_id,
+           substr(text, 1, 40) AS extracted,
+           lang AS unfenced
+    FROM wrapped JOIN documents USING (doc_id)
+    """,
+)
+def tag_extraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7: tag_extract + fence_strip round-trip — wrap real document text
+    in tags/fences, extract back (oracle states the identity directly; the
+    Spark side actually exercises the regexes)."""
+    from instructionspipe_spark.functions.text import fence_strip, tag_extract
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    wrapped = documents.select(
+        "doc_id",
+        F.concat(F.lit("<code>"), F.substring("text", 1, 40), F.lit("</code> trailing")).alias("tagged"),
+        F.concat(F.lit("```json\n"), F.col("lang"), F.lit("\n```")).alias("fenced"),
+    )
+    return wrapped.select(
+        "doc_id",
+        tag_extract("tagged", "<code>", "</code>").alias("extracted"),
+        fence_strip("fenced").alias("unfenced"),
+    )

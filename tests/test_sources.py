@@ -1,0 +1,83 @@
+"""Source/sink tests (SURVEY.md S1-S3, S7-S9)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from instructionspipe_spark.sources.io import read_jsonl, write_jsonl
+
+    src = tmp_path / "in.jsonl"
+    with open(src, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": i, "text": f"doc {i}"}) + "\n")
+        f.write("\n")  # blank line — S1 skips these
+    df = read_jsonl(spark, str(src))
+    assert df.count() == 5
+    out = str(tmp_path / "out")
+    write_jsonl(df, out)
+    back = spark.read.json(out)
+    assert back.count() == 5
+    assert {r["id"] for r in back.collect()} == set(range(5))
+
+
+def test_jsonl_append_mode(spark, tmp_path):
+    from instructionspipe_spark.sources.io import write_jsonl
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    out = str(tmp_path / "out")
+    write_jsonl(df, out, mode="overwrite")
+    write_jsonl(df, out, mode="append")
+    assert spark.read.json(out).count() == 2
+
+
+def test_csv_scan(spark, tmp_path):
+    from instructionspipe_spark.sources.io import read_csv
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,name\n1,alpha\n2,beta\n")
+    df = read_csv(spark, str(src))
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {"1": "alpha", "2": "beta"} or rows == {1: "alpha", 2: "beta"}
+
+
+def test_split_sink_partitioned(spark, tmp_path):
+    from instructionspipe_spark.operators.splitting import grouped_split, write_split_sinks
+
+    df = spark.createDataFrame([(f"k{i % 10}", i) for i in range(100)], ["k", "v"])
+    split = grouped_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    out = str(tmp_path / "splits")
+    write_split_sinks(split, out)
+    names = {d.split("=")[1] for d in os.listdir(out) if d.startswith("split=")}
+    assert names <= {"train", "val", "test"} and "train" in names
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+
+
+def test_multi_sink_lineage(spark, tmp_path):
+    """S8: one cached intermediate feeds results/chatml/meta sinks with a
+    shared session_id join key (J4)."""
+    from instructionspipe_spark.plans.compiler import run_pipeline
+    from instructionspipe_spark.plans.instructions import Instruction, Pipeline
+    from instructionspipe_spark.plans.llm_kernel import MockLlm
+    from instructionspipe_spark.sources.io import multi_sink
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    pipe = Pipeline(stages=((Instruction(name="s", scope=("text",), content="x"),),))
+    out = run_pipeline(df, pipe, MockLlm(), lineage=True)
+    base = str(tmp_path)
+    multi_sink(
+        out,
+        {
+            f"{base}/results": (["doc_id", "session_id", "result"], "overwrite"),
+            f"{base}/chatmls": (["session_id", "s__msgs"], "overwrite"),
+        },
+    )
+    results = spark.read.parquet(f"{base}/results")
+    chatmls = spark.read.parquet(f"{base}/chatmls")
+    joined = results.join(chatmls, "session_id")
+    assert joined.count() == 2  # lineage key joins the sinks back together
