@@ -211,3 +211,53 @@ def media_dedup(df: DataFrame, binary_col: str = "content", id_col: str = "media
 
     with_hash = df.withColumn("__h", F.sha2(F.col(binary_col), 256))
     return exact_dedup(with_hash, ["__h"], [id_col]).drop("__h")
+
+
+def pdf_to_page_images(
+    df: DataFrame,
+    binary_col: str = "content",
+    dpi: int = 600,
+    pdf_fn=None,
+) -> DataFrame:
+    """PDF -> per-page image rows (reference S6/F18:
+    ``apps/poc-instruction-gen/run_example2template.py:77-149`` renders PDF
+    pages at 600 dpi and base64-encodes them for multimodal prompts).
+
+    ``pdf_fn(data: bytes, dpi: int) -> list[bytes]`` is the pluggable
+    renderer (pdf2image/PIL are not in this environment — REAL RENDERING IS
+    STUBBED and raises unless a codec is injected). Output: one row per page
+    with ``page_index`` and the page image bytes in ``binary_col``."""
+    from pyspark.sql import types as T
+
+    from instructionspipe_spark.session import ensure_parallelism
+
+    if pdf_fn is None:
+        def pdf_fn(data: bytes, dpi: int) -> list:  # noqa: ARG001
+            raise NotImplementedError(
+                "pdf renderer not available in this environment; pass pdf_fn"
+            )
+
+    df = ensure_parallelism(df)
+    fields = [f for f in df.schema.fields if f.name != binary_col]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("page_index", T.IntegerType()),
+            T.StructField(binary_col, T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf_batch in batches:
+            rows = []
+            for _, row in pdf_batch.iterrows():
+                data = row[binary_col]
+                pages = pdf_fn(bytes(data), dpi) if data is not None else []
+                base = {f.name: row[f.name] for f in fields}
+                for i, page in enumerate(pages):
+                    rows.append({**base, "page_index": i, binary_col: page})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(kernel, schema=out_schema)

@@ -66,8 +66,78 @@ class MockLlm(LlmClient):
         return F.md5(F.concat(F.lit(self.model), F.lit(":"), prompt))
 
 
+class AsyncKernelLlm(LlmClient):
+    """Shared Arrow-batched async kernel: one asyncio event loop per batch,
+    all prompts in the batch fanned out concurrently under a semaphore (the
+    reference's per-record ``asyncio.gather``, instructions_runners.py:144-148,
+    inverted into Spark's model). Subclasses supply ``_make_completer()``
+    returning an ``async (prompt) -> completion`` callable; the instance must
+    be picklable (it ships to executors inside the kernel closure)."""
+
+    max_concurrency: int = 16
+    expression_based = False
+
+    def _make_completer(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
+        out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.StringType())])
+        make_completer = self._make_completer
+        max_concurrency = self.max_concurrency
+
+        def kernel(batches: Iterator) -> Iterator:
+            import asyncio
+
+            one = make_completer()
+
+            async def guarded(sem, prompt):
+                # Empty-instruction predicate (P6/llm_cli.py:91-99): skip the
+                # call entirely for null/empty prompts.
+                if prompt is None or not str(prompt).strip():
+                    return None
+                async with sem:
+                    return await one(prompt)
+
+            async def run_batch(prompts: list) -> list:
+                sem = asyncio.Semaphore(max_concurrency)
+                return await asyncio.gather(*(guarded(sem, p) for p in prompts))
+
+            for pdf in batches:
+                loop = asyncio.new_event_loop()
+                try:
+                    pdf[out_col] = loop.run_until_complete(run_batch(list(pdf[prompt_col])))
+                finally:
+                    loop.close()
+                yield pdf
+
+        return df.mapInPandas(kernel, schema=out_schema)
+
+
 @dataclass(frozen=True)
-class OpenAiLlm(LlmClient):
+class EchoAsyncLlm(AsyncKernelLlm):
+    """Deterministic async kernel for tests: md5 of the prompt computed
+    through the full mapInPandas + event-loop + semaphore path — exercises
+    everything OpenAiLlm does except the HTTP call."""
+
+    model: str = "mock"
+    max_concurrency: int = 16
+
+    def _make_completer(self):
+        import hashlib
+
+        model = self.model
+
+        async def one(prompt: str) -> str:
+            import asyncio
+
+            await asyncio.sleep(0)  # prove we really suspend on the loop
+            return hashlib.md5(f"{model}:{prompt}".encode()).hexdigest()
+
+        return one
+
+
+@dataclass(frozen=True)
+class OpenAiLlm(AsyncKernelLlm):
     """Async OpenAI-compatible client kernel (gated: requires ``openai``).
 
     Parameters mirror the reference client (``llm_cli.py:31-62``): base_url /
@@ -84,66 +154,37 @@ class OpenAiLlm(LlmClient):
     max_tokens: int = 4096
     max_concurrency: int = 16
     length_retries: int = 3
-    expression_based = False
 
-    def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
-        import pandas as pd  # noqa: F401
+    def _make_completer(self):
+        import openai
 
+        client = openai.AsyncOpenAI(
+            base_url=self.base_url, api_key=os.environ.get(self.api_key_env, "EMPTY")
+        )
         model = self.model
-        base_url = self.base_url
-        api_key_env = self.api_key_env
         temperature = self.temperature
         top_p = self.top_p
         seed = self.seed
         max_tokens = self.max_tokens
-        max_concurrency = self.max_concurrency
         length_retries = self.length_retries
 
-        out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.StringType())])
-
-        def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            import asyncio
-
-            import openai
-
-            client = openai.AsyncOpenAI(
-                base_url=base_url, api_key=os.environ.get(api_key_env, "EMPTY")
-            )
-            sem = asyncio.Semaphore(max_concurrency)
-
-            async def one(prompt: str | None) -> str | None:
-                # Empty-instruction predicate (P6/llm_cli.py:91-99): skip the
-                # network call entirely for null/empty prompts.
-                if prompt is None or not prompt.strip():
-                    return None
-                async with sem:
-                    temp, freq = temperature, 0.0
-                    for _ in range(length_retries + 1):
-                        resp = await client.chat.completions.create(
-                            model=model,
-                            messages=[{"role": "user", "content": prompt}],
-                            temperature=temp,
-                            top_p=top_p,
-                            seed=seed,
-                            max_tokens=max_tokens,
-                            frequency_penalty=freq,
-                        )
-                        choice = resp.choices[0]
-                        if choice.finish_reason != "length":
-                            return choice.message.content
-                        # reference's escalation on truncation (llm_cli.py:123-135)
-                        temp, freq = 1.0, 0.2
+        async def one(prompt: str) -> str | None:
+            temp, freq = temperature, 0.0
+            for _ in range(length_retries + 1):
+                resp = await client.chat.completions.create(
+                    model=model,
+                    messages=[{"role": "user", "content": prompt}],
+                    temperature=temp,
+                    top_p=top_p,
+                    seed=seed,
+                    max_tokens=max_tokens,
+                    frequency_penalty=freq,
+                )
+                choice = resp.choices[0]
+                if choice.finish_reason != "length":
                     return choice.message.content
+                # reference's escalation on truncation (llm_cli.py:123-135)
+                temp, freq = 1.0, 0.2
+            return choice.message.content
 
-            async def run_batch(prompts: list) -> list:
-                return await asyncio.gather(*(one(p) for p in prompts))
-
-            for pdf in batches:
-                loop = asyncio.new_event_loop()
-                try:
-                    pdf[out_col] = loop.run_until_complete(run_batch(list(pdf[prompt_col])))
-                finally:
-                    loop.close()
-                yield pdf
-
-        return df.mapInPandas(kernel, schema=out_schema)
+        return one

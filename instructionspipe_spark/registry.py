@@ -1268,3 +1268,115 @@ def tag_extraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag_extract("tagged", "<code>", "</code>").alias("extracted"),
         fence_strip("fenced").alias("unfenced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star: multimodal — the Arrow mapInPandas kernel itself, oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def _media_features_oracle() -> str:
+    from instructionspipe_spark.operators.multimodal import FEATURE_DIM
+
+    feats = ",\n           ".join(
+        f"ROUND(CAST(('0x' || substr(sha256(text), {i * 8 + 1}, 8))::BIGINT AS DOUBLE)"
+        f" / 4294967295.0, 6) AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    return f"""
+    SELECT doc_id,
+           sha256(text) AS content_hash,
+           octet_length(encode(text)) AS n_bytes,
+           {feats}
+    FROM documents
+    """
+
+
+@query("media_features", oracle=_media_features_oracle())
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction end-to-end: text bytes as an opaque
+    binary column through the Arrow-batched mapInPandas kernel (the decode
+    stub derives features from sha256 of the bytes) — the ONE kernel-based
+    query with a full SQL oracle, proving the Python<->JVM batch path
+    byte-exact against DuckDB."""
+    from instructionspipe_spark.operators.multimodal import FEATURE_DIM, extract_features, media_struct
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    media = documents.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("content"),
+        media_struct("text", "utf-8").alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "content_hash",
+        "n_bytes",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 F9: model-family ChatML rewrite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chatml_family_adjust",
+    oracle="""
+    SELECT doc_id,
+           '<user>' || lang || '</user><assistant>Ok.</assistant><user>' || text || '</user>'
+               AS gemma_text,
+           '<system>' || lang || '</system><user>' || text || '</user>' AS llama_text
+    FROM documents
+    """,
+)
+def chatml_family_adjust_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 chatml_check_and_adjust: gemma/mistral demote system->user and
+    splice an 'Ok.' acknowledgement; system-capable families unchanged
+    (reference apps/training/sft.py:54-75). Oracle states the expected
+    flattened conversations directly."""
+    import instructionspipe_spark.functions.chatml as cm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    base = documents.select(
+        "doc_id",
+        cm.chatml(cm.msg("system", F.col("lang")), cm.msg("user", F.col("text"))).alias("m"),
+    )
+    return base.select(
+        "doc_id",
+        cm.chatml_to_text(cm.chatml_adjust_for_family("m", "gemma")).alias("gemma_text"),
+        cm.chatml_to_text(cm.chatml_adjust_for_family("m", "llama")).alias("llama_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 L5/J5: response-cache protocol (dedup-before-call collapse)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cached_completions",
+    oracle="""
+    SELECT doc_id, lang,
+           sha256('prompt for ' || lang) AS cache_key,
+           md5('mock:' || 'prompt for ' || lang) AS answer
+    FROM documents
+    """,
+)
+def cached_completions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 cache-table protocol: identical prompts collapse to one model call
+    (dropDuplicates on sha256 key) and join back. With 500 docs over a
+    handful of langs the kernel runs once per DISTINCT prompt — the collapse
+    is the whole point at 100 TB. Oracle recomputes key+completion per row."""
+    from instructionspipe_spark.plans.cache import cached_llm_call
+    from instructionspipe_spark.plans.llm_kernel import MockLlm
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    prompts = documents.select(
+        "doc_id", "lang", F.concat(F.lit("prompt for "), F.col("lang")).alias("__p")
+    )
+    out = cached_llm_call(prompts, "__p", "answer", MockLlm(), cache_path=None)
+    return out.select(
+        "doc_id", "lang", F.sha2(F.col("__p"), 256).alias("cache_key"), "answer"
+    ).drop("__p")

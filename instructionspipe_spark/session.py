@@ -79,3 +79,10 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+def ping(spark: SparkSession) -> bool:
+    """Connection smoke test (SURVEY.md L14 — the reference round-trips "Hi"
+    through the LLM before a run, inf.py:60-66; the engine's equivalent is a
+    trivial distributed job proving executors answer)."""
+    return spark.range(1).count() == 1

@@ -61,3 +61,26 @@ def test_media_dedup(spark):
     df = _media_df(spark).filter(F.col("content").isNotNull())
     kept = sorted(r["media_id"] for r in mm.media_dedup(df).collect())
     assert kept == [1, 3]  # id 2 is a byte-identical dup of 1
+
+
+def test_pdf_to_page_images_plumbing(spark):
+    """S6/F18 plumbing with an injected fake renderer: one row per page,
+    metadata carried, binary rewritten."""
+    df = spark.createDataFrame([(1, b"%PDF-fake"), (2, None)], "pdf_id int, content binary")
+
+    def fake_pdf(data: bytes, dpi: int):
+        assert dpi == 600
+        return [data + b"-page0", data + b"-page1"]
+
+    out = mm.pdf_to_page_images(df, pdf_fn=fake_pdf)
+    rows = [(r["pdf_id"], r["page_index"], bytes(r["content"])) for r in out.collect()]
+    assert sorted(rows) == [
+        (1, 0, b"%PDF-fake-page0"),
+        (1, 1, b"%PDF-fake-page1"),
+    ]  # null-content pdf yields no pages
+
+
+def test_pdf_requires_codec(spark):
+    df = spark.createDataFrame([(1, b"%PDF-fake")], "pdf_id int, content binary")
+    with pytest.raises(Exception, match="renderer not available"):
+        mm.pdf_to_page_images(df).collect()

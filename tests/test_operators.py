@@ -174,3 +174,13 @@ def test_group_counts_matches_duck(spark, tables, duck):
     assert_df_equal(
         out, duck.query("SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang")
     )
+
+
+def test_distribution_check_sorted(spark):
+    from instructionspipe_spark.operators.grouping import distribution_check
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 2, ["k"]
+    )
+    rows = [(r["k"], r["cnt"]) for r in distribution_check(df, ["k"]).collect()]
+    assert rows == [("a", 5), ("b", 2), ("c", 2)]  # desc count, key tiebreak

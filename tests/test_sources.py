@@ -81,3 +81,22 @@ def test_multi_sink_lineage(spark, tmp_path):
     chatmls = spark.read.parquet(f"{base}/chatmls")
     joined = results.join(chatmls, "session_id")
     assert joined.count() == 2  # lineage key joins the sinks back together
+
+
+def test_binary_file_scan(spark, tmp_path):
+    """S6 substrate: binaryFile scan returns path/length/content."""
+    from instructionspipe_spark.sources.io import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"hello-bytes")
+    (tmp_path / "b.txt").write_bytes(b"skip me")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == b"hello-bytes"
+    assert rows[0]["length"] == 11
+
+
+def test_ping(spark):
+    from instructionspipe_spark.session import ping
+
+    assert ping(spark)
