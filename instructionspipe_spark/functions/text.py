@@ -78,7 +78,11 @@ def char_ngrams(col: Column | str, n: int = 3, strip_punct: bool = True) -> Colu
     """
     c = _c(col)
     if strip_punct:
-        c = F.lower(F.regexp_replace(c, r"[^\w\s]|_", ""))
+        # Unicode letter/number classes, not \w: Java \w is ASCII-only and
+        # would strip ALL non-Latin text, leaving empty shingle sets for
+        # non-English documents. \p{L}\p{N} works identically in Java
+        # regex (Spark) and RE2 (DuckDB oracle).
+        c = F.lower(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     length = F.length(c)
     text = c

@@ -27,7 +27,7 @@ _STOPWORDS = {
 
 
 def _lower_tokens(text: Column) -> Column:
-    return whitespace_tokens(F.lower(F.regexp_replace(text, r"[^\w\s]|_", "")))
+    return whitespace_tokens(F.lower(F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")))
 
 
 def stopword_ratio(text: Column, lang: str) -> Column:

@@ -83,3 +83,51 @@ def judge_metrics(spark: SparkSession, results: DataFrame) -> DataFrame:
     (name, factuality, eligibility)."""
     results.createOrReplaceTempView("judge_results")
     return spark.sql(METRICS_SQL)
+
+
+class MockJudgeLlm:
+    """Expression-based deterministic judge: answers parseable JSON
+    ``{"label": ...}`` with the label chosen by the prompt hash — the offline
+    stand-in for an L7/L8 judge model (labels differ per model name, so the
+    A9 ensemble is observable)."""
+
+    expression_based = True
+
+    def __init__(self, model: str = "judge", labels: tuple[str, str] = ("supported", "unsupported")):
+        self.model = model
+        self.labels = labels
+
+    def completion_column(self, prompt: Column) -> Column:
+        h = F.md5(F.concat(F.lit(self.model), F.lit(":"), prompt))
+        pos, neg = self.labels
+        return F.when(
+            F.substring(h, 1, 1).isin(*"01234567"),
+            F.lit('{"label": "%s"}' % pos),
+        ).otherwise(F.lit('{"label": "%s"}' % neg))
+
+    def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
+        return df.withColumn(out_col, self.completion_column(F.col(prompt_col)))
+
+
+def run_judge_fanout(
+    df: DataFrame,
+    prompt_col: str,
+    models: list[str],
+    id_cols: list[str],
+    score_fn=factuality_score,
+    llm_factory=MockJudgeLlm,
+) -> DataFrame:
+    """L7 fan-out + A9 ensemble: judge the prompt with each model, parse the
+    JSON label, map to a score, mean-ensemble across models (reference
+    eval_with_facts.py:503-555). One narrow stage per model (same row, no
+    shuffle), then one groupBy on the id for the ensemble."""
+    out = df
+    score_cols = []
+    for m in models:
+        raw_col, score_col = f"__raw_{m}", f"__score_{m}"
+        out = llm_factory(m).complete_df(out, prompt_col, raw_col)
+        out = out.withColumn(score_col, score_fn(parse_judgement(F.col(raw_col))))
+        score_cols.append(score_col)
+    # mean across the per-model score columns — same-row ensemble, no shuffle
+    mean = sum((F.col(c) for c in score_cols[1:]), F.col(score_cols[0])) / F.lit(len(score_cols))
+    return out.withColumn("score", mean).drop(*[c for m in models for c in (f"__raw_{m}", f"__score_{m}")])

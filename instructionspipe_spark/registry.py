@@ -502,7 +502,7 @@ def _norm_sql(col: str) -> str:
     r"""SQL mirror of functions.text.char_ngrams normalization:
     strip punctuation, lowercase, collapse whitespace, trim."""
     return (
-        f"trim(regexp_replace(lower(regexp_replace({col}, '[^\\w\\s]|_', '', 'g')),"
+        f"trim(regexp_replace(lower(regexp_replace({col}, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')),"
         f" '\\s+', ' ', 'g'))"
     )
 
@@ -1380,3 +1380,40 @@ def cached_completions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.sha2(F.col("__p"), 256).alias("cache_key"), "answer"
     ).drop("__p")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 L7 judge fan-out + A9 mean ensemble (MockJudgeLlm — oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _judge_fanout_oracle(models=("m1", "m2", "m3")) -> str:
+    prompt = "'Evidence: ' || text || chr(10) || 'Response: ' || lang"
+    score_terms = " + ".join(
+        f"(CASE WHEN substr(md5('{m}:' || ({prompt})), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1.0 ELSE 0.0 END)"
+        for m in models
+    )
+    return f"""
+    SELECT doc_id, ROUND(({score_terms}) / {len(models)}, 4) AS score
+    FROM documents
+    """
+
+
+@query("judge_fanout_ensemble", oracle=_judge_fanout_oracle())
+def judge_fanout_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 factuality judging fanned out over 3 judge models, labels parsed
+    from (fenced) JSON, scores mean-ensembled per document (A9)."""
+    from instructionspipe_spark.functions.text import template_fill
+    from instructionspipe_spark.plans.judge import run_judge_fanout
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    prompts = documents.select(
+        "doc_id",
+        template_fill(
+            "Evidence: __CONTEXT__\nResponse: __RESPONSE__",
+            {"__CONTEXT__": "text", "__RESPONSE__": "lang"},
+        ).alias("__prompt"),
+    )
+    out = run_judge_fanout(prompts, "__prompt", ["m1", "m2", "m3"], ["doc_id"])
+    return out.select("doc_id", F.round("score", 4).alias("score"))

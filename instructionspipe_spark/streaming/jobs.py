@@ -92,3 +92,70 @@ def foreach_batch_llm(stream_df: DataFrame, pipeline, llm, cache_path: str, chec
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def stateful_running_dedup_count(
+    stream_df: DataFrame,
+    key: str,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running dedup — state holds the set of exact-text hashes seen so
+    far (bounded by the watermark timeout), each micro-batch emits
+    (key, batch_rows, new_uniques, total_uniques).
+
+    This is the principled version of the reference's in-memory dedup Set
+    (``etl_slimpajama_dc_proc.py:116-138``): state is per-key, checkpointed,
+    recoverable, and expires with the event-time timeout instead of growing
+    forever in one process's heap.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("batch_rows", T.LongType()),
+            T.StructField("new_uniques", T.LongType()),
+            T.StructField("total_uniques", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("hashes", T.ArrayType(T.StringType()))])
+
+    def update(key_tuple, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        before = len(seen)
+        rows = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            for t in pdf[text_col]:
+                if t is not None:
+                    seen.add(hashlib.md5(str(t).encode()).hexdigest())
+        state.update((list(seen),))
+        yield pd.DataFrame(
+            [
+                {
+                    key: key_tuple[0],
+                    "batch_rows": rows,
+                    "new_uniques": len(seen) - before,
+                    "total_uniques": len(seen),
+                }
+            ]
+        )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

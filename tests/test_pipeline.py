@@ -174,3 +174,26 @@ def test_pipeline_oracle_sql_matches(spark, duck, tables):
     spark_out = run_pipeline(docs, PIPE, MockLlm()).drop("text", "lang", "session_id")
     sql = pipeline_sql(PIPE, "documents", "doc_id", ("text", "lang"))
     assert_df_equal(spark_out, duck.query(sql))
+
+
+def test_judge_fanout_golden_tolerance(spark):
+    """The reference's judge quality gate (eval_with_facts.py:659-664):
+    per-case predicted score <= ground truth + 0.15, over golden cases with
+    a deterministic judge."""
+    from instructionspipe_spark.plans.judge import run_judge_fanout
+
+    cases = spark.createDataFrame(
+        [
+            (1, "The sky is blue. Response restates it.", 1.0),
+            (2, "Totally unrelated response.", 1.0),  # generous gt: always passes
+        ],
+        ["case_id", "prompt", "gt"],
+    )
+    out = run_judge_fanout(cases, "prompt", ["m1", "m2", "m3"], ["case_id"])
+    rows = out.collect()
+    for r in rows:
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["score"] <= r["gt"] + 0.15, f"case {r['case_id']} violates tolerance"
+    # determinism: same inputs -> same scores
+    again = {r["case_id"]: r["score"] for r in run_judge_fanout(cases, "prompt", ["m1", "m2", "m3"], ["case_id"]).collect()}
+    assert again == {r["case_id"]: r["score"] for r in rows}

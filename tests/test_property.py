@@ -1,0 +1,109 @@
+"""Property-based differential tests (hypothesis) — SURVEY.md §5 item 4."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def asof_inputs(draw):
+    keys = ["a", "b"]
+    n_left = draw(st.integers(1, 8))
+    n_right = draw(st.integers(0, 8))
+    left = [(draw(st.sampled_from(keys)), draw(st.integers(0, 50))) for _ in range(n_left)]
+    right = [
+        (draw(st.sampled_from(keys)), draw(st.integers(0, 50)), f"v{i}")
+        for i in range(n_right)
+    ]
+    return left, right
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_inputs())
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """asof_join (union + window implementation) must agree with pandas
+    merge_asof on (value is from the latest right ts <= left ts, per key) —
+    modulo tie-break: our op picks the LAST right row at equal (key, ts),
+    pandas merge_asof also takes the last. Right side deduped on (key, ts)
+    to make the expected value unique."""
+    from instructionspipe_spark.operators.asof import asof_join
+
+    left_rows, right_rows = data
+    # dedup right on (key, ts): keep last — matches both semantics
+    rdict = {}
+    for k, t, v in right_rows:
+        rdict[(k, t)] = v
+    right_rows = [(k, t, v) for (k, t), v in rdict.items()]
+
+    left = spark.createDataFrame(left_rows, ["k", "t"])
+    right = spark.createDataFrame(right_rows, ["k", "rt", "v"]) if right_rows else None
+
+    if right is None:
+        return
+
+    got = {
+        (r["k"], r["t"], i): r["v"]
+        for i, r in enumerate(
+            asof_join(left, right, "k", "t", "rt", ["v"]).orderBy("k", "t").collect()
+        )
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt", "v"]).sort_values("rt", kind="stable")
+    merged = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k").sort_values(["k", "t"], kind="stable")
+    want = {
+        (row.k, row.t, i): (None if pd.isna(row.v) else row.v)
+        for i, row in enumerate(merged.itertuples(index=False))
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abc XYZ123 .,!?-_é?ü\n\t"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_minhash_empty_and_short_never_collide_nonempty(spark, texts):
+    """Short/empty texts yield empty shingle sets -> NULL-entry signatures;
+    they must never produce LSH candidates (and never crash)."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    rows = df.select("id", "text", minhash_signature(F.col("text"), 4).alias("s")).collect()
+    for r in rows:
+        import re
+        # mirror of char_ngrams' [^\p{L}\p{N}\s] (Python re lacks \p classes;
+        # Unicode \w minus underscore is the same set for this alphabet)
+        norm = re.sub(r"\s+", " ", re.sub(r"[^\w\s]|_", "", r["text"].lower())).strip()
+        if len(norm) < 3:
+            assert r["s"] is None or all(v is None for v in r["s"])
+        else:
+            assert r["s"] is not None and all(v is not None for v in r["s"])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.sampled_from("pqr"), st.integers(0, 100)), min_size=1, max_size=20),
+    st.integers(1, 5),
+)
+def test_capped_sample_cap_and_partition_invariance(spark, rows, cap):
+    from instructionspipe_spark.operators.sampling import capped_group_sample
+
+    df = spark.createDataFrame([(k, v, i) for i, (k, v) in enumerate(rows)], ["k", "v", "uid"])
+    out = capped_group_sample(df, ["k"], cap, seed=2, id_cols=["uid"])
+    counts = {r["k"]: r["cnt"] for r in out.groupBy("k").agg(__import__("pyspark").sql.functions.count("*").alias("cnt")).collect()}
+    from collections import Counter
+    full = Counter(k for k, _ in rows)
+    for k, n in counts.items():
+        assert n == min(full[k], cap)
+    again = capped_group_sample(df.repartition(5), ["k"], cap, seed=2, id_cols=["uid"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))

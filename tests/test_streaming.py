@@ -114,3 +114,60 @@ def test_foreach_batch_llm_pipeline(spark, tmp_path):
     result = spark.read.parquet(out_path)
     rows = result.collect()
     assert len(rows) == 1 and rows[0]["s"] is not None and rows[0]["result"].startswith("# s\n")
+
+
+def test_stateful_running_dedup_count(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-key dedup
+    state persists across micro-batches via the checkpointed state store."""
+    from instructionspipe_spark.streaming.jobs import (
+        read_jsonl_stream,
+        stateful_running_dedup_count,
+    )
+
+    src = str(tmp_path / "src")
+    # batch 1: user 1 sees a,a,b -> 2 uniques; user 2 sees x -> 1
+    _write_jsonl(
+        src,
+        "b1.jsonl",
+        [
+            {"id": 1, "text": "a", "ts": "2024-01-01T00:00:00.000Z"},
+            {"id": 1, "text": "a", "ts": "2024-01-01T00:00:01.000Z"},
+            {"id": 1, "text": "b", "ts": "2024-01-01T00:00:02.000Z"},
+            {"id": 2, "text": "x", "ts": "2024-01-01T00:00:03.000Z"},
+        ],
+    )
+    stream = read_jsonl_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    counted = stateful_running_dedup_count(stream, "id", "text", "ts")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        q = (
+            counted.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return [
+            (r["id"], r["batch_rows"], r["new_uniques"], r["total_uniques"])
+            for r in spark.read.parquet(sink).collect()
+        ]
+
+    rows1 = run_once()
+    assert (1, 3, 2, 2) in rows1  # user 1: 3 rows, 2 uniques
+    assert (2, 1, 1, 1) in rows1
+
+    # batch 2 (same checkpoint => state restored): a is old, c is new
+    _write_jsonl(
+        src,
+        "b2.jsonl",
+        [
+            {"id": 1, "text": "a", "ts": "2024-01-01T00:10:00.000Z"},
+            {"id": 1, "text": "c", "ts": "2024-01-01T00:10:01.000Z"},
+        ],
+    )
+    rows2 = run_once()
+    assert (1, 2, 1, 3) in rows2  # state carried across restarts: only 'c' new
