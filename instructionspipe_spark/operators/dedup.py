@@ -86,8 +86,15 @@ def minhash_signature(text: Column, num_perm: int = 16, ngram: int = 3) -> Colum
     Empty shingle sets yield NULL signature entries (filter short docs first
     — the reference's low-length filter P5 does exactly this).
     """
-    a_const, b_const = _perm_constants(num_perm)
     shingles = F.array_distinct(char_ngrams(text, n=ngram))
+    return minhash_signature_from_shingles(shingles, num_perm)
+
+
+def minhash_signature_from_shingles(shingles: Column, num_perm: int = 16) -> Column:
+    """MinHash signature over a precomputed distinct-shingle array column —
+    lets callers share one shingle projection across signature and
+    verification branches."""
+    a_const, b_const = _perm_constants(num_perm)
     hashes = F.transform(shingles, base_hash48)
 
     def perm_min(hs: Column, a: int, b: int) -> Column:
@@ -159,14 +166,20 @@ def minhash_lsh_candidates(
     from instructionspipe_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    rows_per_band = num_perm // bands
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram)
-    # Stage order matters: materialize the (expensive) signature into a
-    # column, explode the cheap band INDEX, then hash the signature slice
-    # per exploded row. Exploding a precomputed band-hash array instead puts
-    # the whole nested-lambda expression under Generate, which evaluates
-    # interpreted (no codegen) — measured ~5x slower.
     with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    return _sig_band_pairs(with_sig, bands, num_perm // bands)
+
+
+def _sig_band_pairs(with_sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Bucket-representative candidate pairs from an (__id, __sig) frame.
+
+    Stage order matters: the (expensive) signature is already a column;
+    explode the cheap band INDEX, then hash the signature slice per exploded
+    row. Exploding a precomputed band-hash array instead puts the whole
+    nested-lambda expression under Generate, which evaluates interpreted
+    (no codegen) — measured ~5x slower.
+    """
     exploded = with_sig.select(
         "__id", "__sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band_idx")
     )
@@ -188,13 +201,12 @@ def minhash_lsh_candidates(
         ).alias("__band_hash"),
     )
     w = Window.partitionBy("__band_idx", "__band_hash")
-    pairs = (
+    return (
         banded.withColumn("__min_id", F.min("__id").over(w))
         .filter(F.col("__id") > F.col("__min_id"))
         .select(F.col("__min_id").alias("id_a"), F.col("__id").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
@@ -212,6 +224,7 @@ def minhash_lsh_dedup(
     bands: int = 4,
     ngram: int = 3,
     threshold: float | None = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Drop near-duplicates: for every candidate pair (optionally verified at
     ``jaccard >= threshold``), the row with the larger id is removed. The
@@ -221,12 +234,19 @@ def minhash_lsh_dedup(
     from instructionspipe_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    pairs = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, ngram)
+    # One shingle projection feeds signature AND verification; persisting it
+    # avoids re-shingling in each self-join branch (the projection is
+    # id + shingle array — small relative to the input text).
+    sh = df.select(
+        F.col(id_col).alias("__sid"),
+        F.array_distinct(char_ngrams(F.col(text_col), n=ngram)).alias("__sh"),
+    )
+    if persist_shingles:
+        sh = sh.persist()
+    sig = minhash_signature_from_shingles(F.col("__sh"), num_perm)
+    with_sig = sh.select(F.col("__sid").alias("__id"), sig.alias("__sig"))
+    pairs = _sig_band_pairs(with_sig, bands, num_perm // bands)
     if threshold is not None:
-        sh = df.select(
-            F.col(id_col).alias("__sid"),
-            F.array_distinct(char_ngrams(F.col(text_col), n=ngram)).alias("__sh"),
-        )
         pairs = (
             pairs.join(sh.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
             .join(sh.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -234,6 +254,9 @@ def minhash_lsh_dedup(
             .select("id_a", "id_b")
         )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # NB: the persisted shingle projection stays cached until Spark evicts
+    # it (LRU) or the caller clears the cache — unpersisting here would drop
+    # it before the action that needs it ever runs.
     return df.join(losers, id_col, "left_anti")
 
 

@@ -51,3 +51,36 @@ def write_split_sinks(df: DataFrame, path: str, split_col: str = "split", fmt: s
     """Split sink (SURVEY.md S9): one partitioned write instead of the
     reference's three sequential file writes (etl_split_data_by_key.py:78-85)."""
     df.write.mode("overwrite").partitionBy(split_col).format(fmt).save(path)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    ratios: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Scalable variant of :func:`grouped_split`: assign each key group by
+    the VALUE of its deterministic hash instead of its rank — no distinct,
+    no global window, no join; one expression per row.
+
+    Tradeoff: split sizes are hash-proportional (exact in expectation,
+    ±O(sqrt(n_keys)) in realization) rather than exactly sliced like the
+    reference's shuffled-list split. Use this at 100 TB where the distinct
+    key count itself is huge; use grouped_split when exact ratio slicing
+    matters. Leak-freedom is identical: same key -> same hash -> same split.
+    """
+    total = sum(ratios.values())
+    # md5 first 12 hex digits -> uniform [0, 1)
+    u = F.conv(F.substring(pseudo_random(seed, F.col(key)), 1, 12), 16, 10).cast("double") / F.lit(
+        float(1 << 48)
+    )
+    names = list(ratios)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += ratios[name] / total
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    assignment = expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    return df.withColumn(split_col, assignment)

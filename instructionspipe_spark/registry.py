@@ -1417,3 +1417,89 @@ def judge_fanout_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_judge_fanout(prompts, "__prompt", ["m1", "m2", "m3"], ["doc_id"])
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# G7 scale path: hash-proportional split + sign-LSH ANN, both oracle-paired
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hash_split_counts",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey,
+               CAST(('0x' || substr(md5('42|' || CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT
+                    AS DOUBLE) / 281474976710656.0 AS __u
+        FROM orders
+    ),
+    assigned AS (
+        SELECT o_custkey,
+               CASE WHEN __u < 0.8 THEN 'train'
+                    WHEN __u < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
+    )
+    SELECT split, COUNT(1) AS n FROM assigned GROUP BY split
+    """,
+)
+def hash_split_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 at scale: hash-proportional leak-free split — no distinct, no
+    global window, no join; pure per-row expression (operators/splitting.py
+    hash_split). Counts per split, oracle recomputes the md5 assignment."""
+    from instructionspipe_spark.operators.splitting import hash_split
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = hash_split(orders, "o_custkey", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _lsh_topk_oracle(n_bits: int = 4, k: int = 5) -> str:
+    """Oracle for sign-LSH bucketed top-k: mirrors hyperplane_sign_bits
+    (md5-derived hyperplane coords) and the normalized-dot cosine."""
+    def proj(j: int) -> str:
+        return (
+            "list_sum(list_transform(range(0, len(__v)), i -> "
+            f"__v[i + 1] * (CAST(('0x' || substr(md5('{j}' || ':' || CAST(i AS VARCHAR)), 1, 4))::BIGINT AS DOUBLE)"
+            " / 65536.0 - 0.5)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(j)} >= 0 THEN {2 ** (n_bits - 1 - j)} ELSE 0 END)" for j in range(n_bits)
+    )
+    return f"""
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __v FROM embeddings),
+    v AS (
+        SELECT vec_id,
+               list_transform(__v, x -> x / sqrt(list_sum(list_transform(__v, y -> y * y)))) AS __nv,
+               ({bucket}) AS __bucket
+        FROM raw
+    ),
+    q AS (SELECT vec_id AS query_id, __nv, __bucket FROM v WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               ROUND(CAST(list_sum(list_transform(range(1, len(q.__nv) + 1),
+                                                  i -> q.__nv[i] * a.__nv[i])) AS DOUBLE), 4) AS cosine
+        FROM v a JOIN q ON a.__bucket = q.__bucket
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("similarity_lsh_topk", oracle=_lsh_topk_oracle())
+def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-LSH bucketing (stateless md5 hyperplanes) turns
+    the cross join into an equi-join on the bucket; top-5 within bucket."""
+    from instructionspipe_spark.operators.similarity import lsh_bucketed_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_bucketed_topk(embeddings, queries_df, k=5, n_bits=4)
+    return out.select("query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank")

@@ -184,3 +184,42 @@ def test_distribution_check_sorted(spark):
     )
     rows = [(r["k"], r["cnt"]) for r in distribution_check(df, ["k"]).collect()]
     assert rows == [("a", 5), ("b", 2), ("c", 2)]  # desc count, key tiebreak
+
+
+def test_hash_split_leak_free_and_proportional(spark):
+    from instructionspipe_spark.operators.splitting import hash_split
+
+    rows = [(f"k{i % 200}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    per_key = out.groupBy("k").agg(F.countDistinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_key)  # leak-free
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts.get("val", 0) and counts["train"] > counts.get("test", 0)
+    # deterministic under repartitioning
+    again = hash_split(df.repartition(7), "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_lsh_bucketed_topk_subset_of_brute(spark, tables):
+    """Sign-LSH ANN: results must be a subset of the corpus with correct
+    cosine values (vs brute force) and the exact nearest hit for a query
+    vector identical to a corpus vector (same bucket by construction)."""
+    from instructionspipe_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = lsh_bucketed_topk(emb, queries, k=5, n_bits=4)
+    exact = brute_force_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["vec_id"]): round(r["cosine"], 6) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]): round(r["cosine"], 6) for r in exact.collect()}
+    # identical vector is always in the same bucket -> rank-1 self hit
+    for q in (0, 1, 2):
+        assert a[(q, q)] == e[(q, q)] == 1.0
+    # every approx cosine equals the exact cosine for that pair
+    for pair, cos in a.items():
+        if pair in e:
+            assert cos == e[pair]

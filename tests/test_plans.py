@@ -1,0 +1,53 @@
+"""Plan-quality regression tests: the physical plans we designed for must
+stay the plans Catalyst picks (SCALE.md 'verified plan properties')."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import __spark_entry__ as entrymod
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4  # all dims broadcast
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    # column pruning: never reads unused lineitem columns
+    assert "l_comment" not in plan and "l_partkey" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_instructions_pipeline_is_shuffle_free(spark):
+    plan = _plan(spark, "instructions_mapreduce")
+    # map + reduce operate on the same row: the whole pipeline is one narrow
+    # stage over the scan; AQE may add a trailing exchange only for writes
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_scope_projection_prunes_scan(spark):
+    plan = _plan(spark, "scope_projection")
+    assert "text" in plan and "n_chars" not in plan  # unused col pruned
+
+
+def test_cached_completions_no_crossjoin(spark):
+    plan = _plan(spark, "cached_completions")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
