@@ -110,3 +110,32 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+def token_count_hf(text_col: str, model_name: str = "gpt2"):
+    """F17 exact token counting via a HuggingFace tokenizer inside an
+    Arrow-batched pandas UDF (the reference counts with an HF tokenizer,
+    ``apps/cost_estimator_inf.py:53-63``). Gated: raises ImportError where
+    ``transformers`` is absent (this environment) — :func:`token_count` is
+    the always-available estimator. The tokenizer loads once per executor
+    (function-local lazy init), not once per row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    try:
+        import transformers  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without transformers
+        raise ImportError(
+            "token_count_hf requires the 'transformers' package; use "
+            "token_count (expression estimator) instead"
+        ) from e
+
+    @F.pandas_udf(T.LongType())
+    def _count(texts: pd.Series) -> pd.Series:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_name)
+        return texts.map(lambda t: len(tok.encode(t)) if t is not None else 0)
+
+    return _count(F.col(text_col))

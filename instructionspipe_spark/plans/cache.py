@@ -74,3 +74,19 @@ def cached_llm_call(
         .withColumnRenamed("completion", out_col)
     )
     return out
+
+
+class CachedLlm:
+    """LlmClient adapter routing every completion through the cache-table
+    protocol — drop-in for any pipeline stage; the streaming foreachBatch
+    stage uses it so each micro-batch reuses completions from all previous
+    batches (and concurrent jobs) via the shared parquet cache table."""
+
+    expression_based = False
+
+    def __init__(self, inner, cache_path: str):
+        self.inner = inner
+        self.cache_path = cache_path
+
+    def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
+        return cached_llm_call(df, prompt_col, out_col, self.inner, cache_path=self.cache_path)

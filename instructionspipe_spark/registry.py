@@ -1503,3 +1503,43 @@ def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lsh_bucketed_topk(embeddings, queries_df, k=5, n_bits=4)
     return out.select("query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 L11: agentic supervisor fan-out -> task kernels -> state merge
+# ---------------------------------------------------------------------------
+
+
+def _agentic_oracle() -> str:
+    """Oracle mirrors agentic_map over DOC_PIPELINE's map stage: per-task
+    kernels are the standard instruction kernel, the merged state is the
+    JSON rendering of {name: completion} in instruction order."""
+    from instructionspipe_spark.plans.oracle_compiler import completion_sql
+
+    instrs = DOC_PIPELINE.stages[0]
+    available = {"text", "lang"}
+    pairs = []
+    for i in instrs:
+        c = completion_sql(i, available)
+        pairs.append(f"'\"{i.name}\":\"' || {c} || '\"'")
+    json_expr = "'{' || " + " || ',' || ".join(pairs) + " || '}'"
+    return f"""
+    SELECT doc_id, {json_expr} AS agent_state FROM documents
+    """
+
+
+@query("agentic_fanout", oracle=_agentic_oracle())
+def agentic_fanout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 agentic MR: instructions routed to task kernels (both map to the
+    default kernel here), outputs merged into per-record state
+    (map<name,completion>), rendered as JSON for the hash compare."""
+    from instructionspipe_spark.plans.agentic import agentic_map
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = agentic_map(
+        documents.select("doc_id", "text", "lang"),
+        DOC_PIPELINE.stages[0],
+        MockLlm(),
+        task_of=lambda i: "text" if "text" in i.scope else "meta",
+    )
+    return out.select("doc_id", F.to_json(F.col("agent_results")).alias("agent_state"))

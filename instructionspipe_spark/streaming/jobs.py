@@ -80,11 +80,17 @@ def session_window_agg(
 def foreach_batch_llm(stream_df: DataFrame, pipeline, llm, cache_path: str, checkpoint: str, out_path: str):
     """Streaming LLM stage: run the instruction pipeline per micro-batch via
     ``foreachBatch`` so each batch reuses the persistent cache table
-    (SURVEY.md §2.10 — the one streaming piece that needs batch semantics)."""
+    (SURVEY.md §2.10 — the one streaming piece that needs batch semantics).
+    With ``cache_path`` set, completions are routed through the cache-table
+    protocol: prompts already answered in ANY previous micro-batch (or by a
+    concurrent job) are never re-sent to the model."""
+    from instructionspipe_spark.plans.cache import CachedLlm
     from instructionspipe_spark.plans.compiler import run_pipeline
 
+    effective_llm = CachedLlm(llm, cache_path) if cache_path else llm
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        out = run_pipeline(batch_df, pipeline, llm)
+        out = run_pipeline(batch_df, pipeline, effective_llm)
         out.write.mode("append").parquet(out_path)
 
     return (

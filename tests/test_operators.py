@@ -223,3 +223,18 @@ def test_lsh_bucketed_topk_subset_of_brute(spark, tables):
     for pair, cos in a.items():
         if pair in e:
             assert cos == e[pair]
+
+
+def test_token_count_hf_gated():
+    """F17: exact HF counting is cleanly gated where transformers is absent."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from instructionspipe_spark.operators.textstats import token_count_hf
+
+    if importlib.util.find_spec("transformers") is None:
+        with _pytest.raises(ImportError, match="transformers"):
+            token_count_hf("text")
+    else:  # pragma: no cover
+        assert token_count_hf("text") is not None

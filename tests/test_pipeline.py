@@ -197,3 +197,23 @@ def test_judge_fanout_golden_tolerance(spark):
     # determinism: same inputs -> same scores
     again = {r["case_id"]: r["score"] for r in run_judge_fanout(cases, "prompt", ["m1", "m2", "m3"], ["case_id"]).collect()}
     assert again == {r["case_id"]: r["score"] for r in rows}
+
+
+def test_chained_three_stage_pipeline(spark):
+    """The reference ships [map, reduce] but sketches chained MRs
+    (README.md:59-71); Pipeline generalizes: each stage's scope reads the
+    previous stage's outputs."""
+    three = Pipeline(
+        stages=(
+            (Instruction(name="a", scope=("text",), content="s1"),),
+            (Instruction(name="b", scope=("a",), content="s2"),),
+            (Instruction(name="c", scope=("b",), content="s3"),),
+        )
+    )
+    df = spark.createDataFrame([(1, "seed")], ["id", "text"])
+    row = run_pipeline(df, three, MockLlm()).first()
+    pb = system_prompt(three.stages[1][0]) + "\n\n" + f"# a\n{row['a']}"
+    pc = system_prompt(three.stages[2][0]) + "\n\n" + f"# b\n{row['b']}"
+    assert row["b"] == _mock_md5(pb)
+    assert row["c"] == _mock_md5(pc)
+    assert row["result"] == f"# c\n{row['c']}"

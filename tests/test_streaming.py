@@ -105,15 +105,34 @@ def test_foreach_batch_llm_pipeline(spark, tmp_path):
     src = str(tmp_path / "src")
     out_path = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
+    cache = str(tmp_path / "llm_cache")
     _write_jsonl(src, "part0.jsonl", [{"id": 1, "text": "hello", "ts": "2024-01-01T00:00:00.000Z"}])
     pipe = Pipeline(stages=((Instruction(name="s", scope=("text",), content="summ"),),))
     stream = read_jsonl_stream(spark, src, SCHEMA)
-    writer = foreach_batch_llm(stream, pipe, MockLlm(), cache_path=None, checkpoint=ckpt, out_path=out_path)
+    writer = foreach_batch_llm(stream, pipe, MockLlm(), cache_path=cache, checkpoint=ckpt, out_path=out_path)
     q = writer.start()
     q.awaitTermination(120)
-    result = spark.read.parquet(out_path)
-    rows = result.collect()
+    rows = spark.read.parquet(out_path).collect()
     assert len(rows) == 1 and rows[0]["s"] is not None and rows[0]["result"].startswith("# s\n")
+    # the cache table holds the one distinct prompt
+    assert spark.read.parquet(cache).count() == 1
+
+    # second micro-batch: one repeated text (cache hit) + one new
+    _write_jsonl(
+        src,
+        "part1.jsonl",
+        [
+            {"id": 2, "text": "hello", "ts": "2024-01-01T00:01:00.000Z"},
+            {"id": 3, "text": "fresh", "ts": "2024-01-01T00:02:00.000Z"},
+        ],
+    )
+    q2 = foreach_batch_llm(stream, pipe, MockLlm(), cache_path=cache, checkpoint=ckpt, out_path=out_path).start()
+    q2.awaitTermination(120)
+    all_rows = {r["id"]: r["s"] for r in spark.read.parquet(out_path).collect()}
+    assert all_rows[1] == all_rows[2]  # same text -> same (cached) completion
+    assert all_rows[3] is not None and all_rows[3] != all_rows[1]
+    # cache grew by exactly the one new distinct prompt
+    assert spark.read.parquet(cache).groupBy("cache_key").count().count() == 2
 
 
 def test_stateful_running_dedup_count(spark, tmp_path):
