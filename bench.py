@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_ratio",
+    "q18_large_orders",
     "agg_rollup",
     "join_dims_broadcast",
     "window_rank_orders",

@@ -120,3 +120,82 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    max_iter: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVF-style ANN: k-means cells over the corpus (pyspark.ml KMeans),
+    each query probes its ``n_probe`` nearest centroids and ranks only those
+    cells' vectors. The iterative trainer makes this non-SQL-expressible
+    (driver records a rows-only check); determinism comes from the fixed
+    seed. At 100 TB the model fits on a corpus SAMPLE and cell assignment
+    is one narrow pass; the probe join is an equi-join on the cell id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from instructionspipe_spark.functions.vectors import dot_product, l2_normalize
+    from instructionspipe_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    c_vec = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec),
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("__mlvec"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__mlvec", predictionCol="__cell").fit(c_vec)
+    c_cells = model.transform(c_vec).select(
+        F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"), F.col("__cell")
+    )
+
+    # Query -> n_probe nearest centroids (centroid list is tiny: broadcast
+    # as a literal array, distance computed per query row).
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers_col = F.array(*[
+        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(x) for x in c]).alias("center"))
+        for i, c in enumerate(centers)
+    ])
+    q = queries.select(
+        F.col(query_id),
+        l2_normalize(F.col(query_vec)).alias("__qnv"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    with_dists = q.withColumn(
+        "__cells",
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    centers_col,
+                    lambda s: F.struct(
+                        F.aggregate(
+                            F.zip_with(F.col("__qv"), s["center"], lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("dist"),
+                        s["cell"].alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        ),
+    )
+    probed = with_dists.select(
+        F.col(query_id), F.col("__qnv"), F.explode(F.col("__cells")["cell"]).alias("__cell")
+    )
+    joined = c_cells.join(F.broadcast(probed), "__cell").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1543,3 +1543,174 @@ def agentic_fanout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         task_of=lambda i: "text" if "text" in i.scope else "meta",
     )
     return out.select("doc_id", F.to_json(F.col("agent_results")).alias("agent_state"))
+
+
+@query("similarity_ivf_topk")  # no oracle: iterative k-means training
+def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: k-means cells (pyspark.ml, seeded), probe the 2
+    nearest cells per query. Rows-only driver check — the trainer is
+    iterative, hence not SQL-expressible; correctness vs brute force is
+    asserted in tests/test_operators.py::test_ivf_topk_finds_self_and_orders."""
+    from instructionspipe_spark.operators.similarity import ivf_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(embeddings, queries_df, k=5, n_cells=8, n_probe=2).select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 more TPC-H shapes: q6 (scan-filter-agg), q14 (conditional ratio),
+# q18 (having + join + top-k)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))), 2) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side conjunctive filter + global agg — the
+    canonical predicate-pushdown benchmark (all four predicates reach the
+    parquet reader; zero shuffles beyond the final single-row agg)."""
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(25,6)")), 2
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q14_promo_ratio",
+    oracle="""
+    SELECT CAST(ROUND(
+               100.0 * SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                                     THEN l.l_extendedprice * (1 - l.l_discount)
+                                     ELSE 0 END AS DECIMAL(25,6)))
+               / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))), 4)
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact-dim join + conditional aggregate ratio. part
+    broadcasts; the CASE folds into the partial agg (one shuffle of two
+    decimal partials, not rows). Decimal/decimal division keeps the ratio
+    exact until the final rounding."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(25,6)"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 150
+    )
+    SELECT c.c_name, o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, orderkey ASC
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join input, then
+    dim join + top-k. The `big` set after HAVING is tiny, so both joins
+    broadcast it; TakeOrdered handles the top-20."""
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("__qty"))
+        .filter(F.col("__qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "salted_aggregate",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total,
+           CAST(MAX(value) AS DOUBLE) AS mx
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): partial agg on
+    (key, salt) spreads a hot key over many reducers, then a second tiny
+    shuffle merges per-salt partials. The oracle is the plain GROUP BY —
+    salting must be semantically invisible. Algebraic fns only (sum/count/
+    min/max merge associatively); cf. reference's single-process group-by
+    (apps/etl/etl_sampling_by_key.py:17-32) which has no skew story at all."""
+    from instructionspipe_spark.operators.skew import salted_aggregate
+
+    (events,) = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        events.withColumn("__v", F.col("value").cast("decimal(25,6)")),
+        ["event_type"],
+        {"n": ("count", "*"), "total": ("sum", "__v"), "mx": ("max", "value")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("total"), 2).cast("double").alias("total"),
+        F.col("mx").cast("double").alias("mx"),
+    )

@@ -238,3 +238,40 @@ def test_token_count_hf_gated():
             token_count_hf("text")
     else:  # pragma: no cover
         assert token_count_hf("text") is not None
+
+
+def test_salted_aggregate_matches_direct(spark):
+    from instructionspipe_spark.operators.skew import salted_aggregate
+
+    rows = [("hot", i) for i in range(500)] + [("cold", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    salted = salted_aggregate(
+        df, ["k"], {"n": ("count", "*"), "total": ("sum", "v"), "mx": ("max", "v")}, salt_buckets=8
+    )
+    got = {r["k"]: (r["n"], r["total"], r["mx"]) for r in salted.collect()}
+    assert got == {"hot": (500, sum(range(500)), 499), "cold": (10, sum(range(10)), 9)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        salted_aggregate(df, ["k"], {"a": ("avg", "v")})
+
+
+def test_ivf_topk_finds_self_and_orders(spark, tables):
+    from instructionspipe_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2)
+    exact = brute_force_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["vec_id"]): round(r["cosine"], 6) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]): round(r["cosine"], 6) for r in exact.collect()}
+    for q in (0, 1, 2):
+        assert a[(q, q)] == 1.0  # identical vector always in the probed cell
+    for pair, cos in a.items():
+        if pair in e:
+            assert cos == e[pair]  # cosines agree with brute force
+    # determinism
+    again = {(r["query_id"], r["vec_id"]) for r in ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2).collect()}
+    assert again == set(a)
