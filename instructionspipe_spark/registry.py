@@ -1714,3 +1714,139 @@ def salted_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total"), 2).cast("double").alias("total"),
         F.col("mx").cast("double").alias("mx"),
     )
+
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join — the probe
+    side never materializes matched rows, so the shuffle carries only
+    distinct l_orderkeys. (Adapted predicate: testdata lacks
+    l_commitdate/l_receiptdate.)"""
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    discounted = lineitem.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-side predicate (NOT a
+    post-filter — null-extended rows must survive), then a distribution over
+    the grouped counts. COUNT(col) vs COUNT(*) null semantics is the trap:
+    unmatched customers count 0, not 1. (Adapted: priority filter replaces
+    the comment LIKE — testdata has no o_comment.)"""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    filtered = orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))), 2)
+           AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions join predicate. Catalyst extracts
+    the common subexpressions (CNF conversion) so the per-side prefilters
+    (p_size >= 1, quantity bounds) still push to the scans; the residual
+    disjunction evaluates post-join in codegen. part broadcasts."""
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    j = lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 2
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (computed once, broadcast
+    as a literal-like single-row plan) + NOT EXISTS as LEFT ANTI join.
+    Rich-but-dormant customers: above-average balance, no urgent orders.
+    (Adapted: groups by c_mktsegment, anti-joins urgent orders — testdata
+    has no c_phone and every customer has at least one order.)"""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .select("a")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

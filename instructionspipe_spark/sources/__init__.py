@@ -9,3 +9,8 @@ from instructionspipe_spark.sources.io import (  # noqa: F401
     write_parquet,
     multi_sink,
 )
+from instructionspipe_spark.sources.bucketing import (  # noqa: F401
+    bucketed,
+    is_bucket_join_colocated,
+    write_bucketed,
+)

@@ -1,0 +1,62 @@
+"""Bucketed tables: shuffle-free co-located joins and aggregations.
+
+The reference joins nothing (SURVEY.md §2.5) so it never pays a shuffle; at
+100 TB every fact⋈fact equi-join is dominated by the shuffle of both sides.
+Bucketing amortizes that cost to write time: a table written with
+``bucketBy(n, key)`` is hash-partitioned on disk, so any join or groupBy on
+the bucket key — against another table bucketed the same way with the same
+``n`` — runs with **zero Exchange** in the physical plan. This is the Spark
+equivalent of the co-located MapReduce join, and the right layout for the
+repeatedly-joined 100 TB fact tables (e.g. lineitem⋈orders on orderkey,
+chatml-lineage⋈results on session_id — SURVEY.md J4).
+
+Rules baked in here (violating any silently reintroduces the shuffle):
+- both sides must have the SAME bucket count (or a divisor, with
+  ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``),
+- the join keys must be EXACTLY the bucket columns,
+- the scan must come from the catalog (``spark.table``), not a bare
+  ``read.parquet`` of the files, else bucket metadata is lost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally per-bucket sorted) table.
+
+    ``sort_cols`` additionally sorts within each bucket file, which lets a
+    sort-merge join skip its Sort nodes too. ``path`` makes the table
+    external (data at ``path``, metadata in the session catalog).
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog scan that preserves bucket metadata (a bare
+    ``spark.read.parquet`` of the same files would NOT — the output
+    partitioning would be unknown and joins would shuffle again)."""
+    return spark.table(table)
+
+
+def is_bucket_join_colocated(joined: DataFrame) -> bool:
+    """True when the physical plan of ``joined`` contains no Exchange —
+    i.e. the join really runs bucket-to-bucket. Use in tests/CI to guard
+    the layout contract (bucket counts drifting apart breaks it silently)."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan

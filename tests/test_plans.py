@@ -51,3 +51,25 @@ def test_scope_projection_prunes_scan(spark):
 def test_cached_completions_no_crossjoin(spark):
     plan = _plan(spark, "cached_completions")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    for frag in ("GreaterThanOrEqual(l_shipdate", "GreaterThanOrEqual(l_discount",
+                 "LessThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert frag in plan, f"missing pushed filter {frag}"
+    # only the four referenced columns are read
+    assert "l_extendedprice" in plan and "l_comment" not in plan and "l_partkey" not in plan
+
+
+def test_q14_q18_broadcast_small_sides(spark):
+    p14 = _plan(spark, "q14_promo_ratio")
+    assert "BroadcastHashJoin" in p14 and "SortMergeJoin" not in p14
+    p18 = _plan(spark, "q18_large_orders")
+    assert "BroadcastHashJoin" in p18
+    assert "TakeOrderedAndProject" in p18  # top-20 never global-sorts
+
+
+def test_q4_semi_q22_anti_join_types(spark):
+    assert "LeftSemi" in _plan(spark, "q4_priority_exists")
+    assert "LeftAnti" in _plan(spark, "q22_dormant_customers")

@@ -100,3 +100,42 @@ def test_ping(spark):
     from instructionspipe_spark.session import ping
 
     assert ping(spark)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path):
+    """Co-located join contract: two tables bucketed on the join key with the
+    same bucket count join with ZERO Exchange; the same join over bare
+    parquet scans shuffles both sides."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.sources.bucketing import (
+        bucketed,
+        is_bucket_join_colocated,
+        write_bucketed,
+    )
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = tables["lineitem"].select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"], path=str(tmp_path / "bo"))
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], 4, sort_cols=["o_orderkey"], path=str(tmp_path / "bl"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed(spark, "b_orders").join(bucketed(spark, "b_lineitem"), "o_orderkey")
+        assert is_bucket_join_colocated(j)
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert not is_bucket_join_colocated(plain)
+        # semantics unchanged by the layout
+        assert j.count() == plain.count()
+        a = j.agg(F.sum("l_quantity")).first()[0]
+        b = plain.agg(F.sum("l_quantity")).first()[0]
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
