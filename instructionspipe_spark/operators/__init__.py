@@ -17,7 +17,9 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     minhash_signature,
     minhash_lsh_dedup,
     simhash,
+    simhash_band_buckets,
     simhash_dedup,
+    simhash_near_dedup,
     ngram_jaccard_pairs,
     embedding_near_dup,
 )

@@ -384,3 +384,66 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def simhash_band_buckets(fp: Column, bands: int, bits_per_band: int) -> Column:
+    """LSH over fingerprint bits: array of ``bands`` integer buckets, band b
+    = bits [b*bits_per_band, (b+1)*bits_per_band) of the fingerprint."""
+    mask = (1 << bits_per_band) - 1
+    return F.array(
+        *[F.shiftright(fp, b * bits_per_band).bitwiseAND(F.lit(mask)) for b in range(bands)]
+    )
+
+
+def simhash_near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    radius: int = 3,
+    ngram: int = 3,
+) -> DataFrame:
+    """Hamming-radius SimHash near-dedup: docs whose fingerprints differ in
+    <= ``radius`` bits collapse to the min-id survivor.
+
+    LSH on bit-bands: a pair within ``radius`` differing bits has, by
+    pigeonhole, at least one of ``bands`` bands fully intact whenever
+    ``radius < bands`` — so candidate recall is EXACT (no false negatives),
+    unlike MinHash banding which is probabilistic. Candidates pair each
+    bucket member with the bucket's min-id representative (linear in bucket
+    size, same scale guarantee as minhash_lsh_candidates); verification is
+    one ``bit_count(xor)`` per pair. Plan: per-row fingerprint expression ->
+    explode ``bands`` ints -> one shuffle on (band, bucket) -> popcount
+    filter -> left-anti join.
+
+    Replaces the reference's order-dependent in-memory near-dedup
+    (``apps/etl/etl_slimpajama_dc_proc.py:116-158``) with a deterministic,
+    shuffle-bounded formulation.
+    """
+    assert radius < bands, "exact recall needs radius < bands (pigeonhole)"
+    from instructionspipe_spark.session import ensure_parallelism
+
+    bits_per_band = bits // bands
+    dfp = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), simhash(F.col(text_col), bits=bits, ngram=ngram).alias("__fp")
+    )
+    banded = dfp.select(
+        "__id",
+        "__fp",
+        F.posexplode(simhash_band_buckets(F.col("__fp"), bands, bits_per_band)).alias(
+            "__band_idx", "__bucket"
+        ),
+    )
+    w = Window.partitionBy("__band_idx", "__bucket")
+    rep = F.min(F.struct("__id", "__fp")).over(w)
+    pairs = (
+        banded.withColumn("__rep", rep)
+        .filter(F.col("__id") > F.col("__rep.__id"))
+        .filter(
+            F.bit_count(F.col("__fp").bitwiseXOR(F.col("__rep.__fp"))) <= F.lit(radius)
+        )
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return df.join(pairs, id_col, "left_anti")

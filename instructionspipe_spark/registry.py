@@ -1850,3 +1850,247 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+def _simhash_near_dedup_oracle(bits: int = 32, bands: int = 4, radius: int = 3) -> str:
+    bpb = bits // bands
+    mask = (1 << bpb) - 1
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(__hashes, h -> ((h >> {b}) % 2) * 2 - 1)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        "WITH" + _minhash_base_cte(1) + f""",
+    fp AS (SELECT doc_id, {terms} AS fp FROM hashed),
+    banded AS (
+        SELECT doc_id, fp, t.b AS band_idx, (fp >> (t.b * {bpb})) & {mask} AS bucket
+        FROM fp CROSS JOIN (SELECT UNNEST(range(0, {bands})) AS b) t
+    ),
+    reps AS (
+        SELECT band_idx, bucket, MIN(doc_id) AS min_id
+        FROM banded GROUP BY band_idx, bucket
+    ),
+    losers AS (
+        SELECT DISTINCT a.doc_id
+        FROM banded a
+        JOIN reps r ON a.band_idx = r.band_idx AND a.bucket = r.bucket
+                   AND a.doc_id > r.min_id
+        JOIN fp fr ON fr.doc_id = r.min_id
+        WHERE bit_count(xor(a.fp, fr.fp)) <= {radius}
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+    )
+
+
+@query("simhash_near_dedup", oracle=_simhash_near_dedup_oracle())
+def simhash_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius SimHash near-dedup (radius 3 over 32-bit fingerprints,
+    4 bit-bands). Exact candidate recall: radius < bands guarantees a shared
+    intact band by pigeonhole — the deterministic replacement for the
+    reference's in-memory near-dedup (etl_slimpajama_dc_proc.py:116-158)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.simhash_near_dedup(
+        documents, "doc_id", "text", bits=32, bands=4, radius=3
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q7_nation_trade",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name IN ('NATION_1','NATION_2')
+      AND cn.n_name IN ('NATION_1','NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, l_year
+    """,
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: volume shipped between two nations by year. Two
+    fact-fact joins (lineitem⋈orders is the big one — SMJ/shuffle at scale,
+    a bucketed layout on orderkey makes it exchange-free, see
+    sources/bucketing.py) + four broadcast dims, incl. the same nation dim
+    joined TWICE under different aliases (supplier side / customer side)."""
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    two = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col("cust_nation").isin(
+        "NATION_1", "NATION_2"
+    )
+    return (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(two & (F.col("supp_nation") != F.col("cust_nation")))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 2
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH all_sales AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                               ELSE CAST(0 AS DECIMAL(25,6)) END)
+                      / SUM(volume), 6) AS DOUBLE) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for one part
+    type, by year — an 8-table join tree where every dim broadcasts and the
+    conditional-share ratio folds into two decimal partials per group."""
+    lineitem, orders, customer, supplier, nation, region, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region", "part"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(
+        F.lit(0).cast("decimal(25,6)")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("cn_region"),
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(nation_vol) / F.sum(vol), 6).cast("double").alias("mkt_share"))
+    )
+
+
+@query(
+    "pivot_event_matrix",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(25,6)) ELSE CAST(0 AS DECIMAL(25,6)) END), 2) AS DOUBLE) AS click,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(25,6)) ELSE CAST(0 AS DECIMAL(25,6)) END), 2) AS DOUBLE) AS error,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(25,6)) ELSE CAST(0 AS DECIMAL(25,6)) END), 2) AS DOUBLE) AS purchase,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(25,6)) ELSE CAST(0 AS DECIMAL(25,6)) END), 2) AS DOUBLE) AS signup,
+           CAST(ROUND(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(25,6)) ELSE CAST(0 AS DECIMAL(25,6)) END), 2) AS DOUBLE) AS view
+    FROM events
+    GROUP BY user_bucket
+    """,
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (J3's state-merge analog as a relational op): event_type values
+    become columns. The pivot value list is DECLARED, not discovered — an
+    undeclared pivot needs an extra distinct-scan job to find the columns,
+    a hidden full pass at 100 TB. One shuffle, same as a plain groupBy."""
+    (events,) = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.withColumn("user_bucket", F.col("user_id") % 100)
+        .groupBy("user_bucket")
+        .pivot("event_type", kinds)
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")))
+    )
+    return out.select(
+        "user_bucket",
+        *[F.round(F.coalesce(F.col(k), F.lit(0).cast("decimal(25,6)")), 2).cast("double").alias(k) for k in kinds],
+    )
+
+
+@query(
+    "percentile_order_value",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(ROUND(quantile_cont(o.o_totalprice, 0.5), 4) AS DOUBLE) AS median_price,
+           CAST(ROUND(quantile_cont(o.o_totalprice, 0.9), 4) AS DOUBLE) AS p90_price,
+           COUNT(*) AS n
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per segment. Exact
+    percentile is a full-sort-per-group aggregate — fine per segment here;
+    at 100 TB with high-cardinality groups switch to percentile_approx
+    (t-digest sketch, mergeable, one pass) and accept the driver's
+    rows-only check like approx_distinct."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 4).cast("double").alias("median_price"),
+            F.round(F.percentile(F.col("o_totalprice"), F.lit(0.9)), 4).cast("double").alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the engine's SQL surface (spark.sql over the
+    registered views) — the declared-sets generalization of rollup/cube.
+    Spark expands the sets in ONE aggregate pass (Expand operator), not one
+    scan per set."""
+    from instructionspipe_spark.catalog import register_views
+
+    register_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

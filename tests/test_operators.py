@@ -275,3 +275,24 @@ def test_ivf_topk_finds_self_and_orders(spark, tables):
     # determinism
     again = {(r["query_id"], r["vec_id"]) for r in ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2).collect()}
     assert again == set(a)
+
+
+def test_simhash_near_dedup_behavior(spark):
+    from instructionspipe_spark.operators.dedup import simhash_near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base),
+        (2, base),                      # identical -> hamming 0, dropped
+        (3, base.replace("lazy", "hazy")),  # near-dup -> small hamming
+        (4, "completely different content about spark shuffles and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in simhash_near_dedup(df, "doc_id", "text").collect())
+    assert 1 in kept and 4 in kept  # min-id survivor + unrelated doc survive
+    assert 2 not in kept  # identical text always collapses
+    assert len(kept) <= 3
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_near_dedup(df, "doc_id", "text", bands=2, radius=3)
