@@ -116,13 +116,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> two joins -> agg -> top-k.
-    customer side is small after the filter => broadcast; top-k executes as
+    The filtered customer⋈orders side is the SMALL side: broadcast it and
+    stream lineitem (left unhinted, Catalyst happily broadcasts the whole
+    fact table when it fits the threshold at test scale — exactly backwards
+    at 100 TB, and ~40% slower even at sf0.1). Top-k executes as
     TakeOrdered, no full sort."""
+    from instructionspipe_spark.session import broadcast_if_small
+
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    small = orders.join(
+        broadcast_if_small(building), F.col("c_custkey") == F.col("o_custkey")
+    ).select("o_orderkey", "o_orderdate")
     return (
-        customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem.join(broadcast_if_small(small), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
         .agg(
             F.round(
@@ -150,17 +157,29 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join. region/nation/customer broadcast up the
-    chain; only orders⋈lineitem shuffles."""
+    """TPC-H Q5 shape: star join. The orders fact streams against the
+    broadcast ASIA-customer dim set, then the lineitem fact streams against
+    the reduced (o_orderkey, n_name) side — both via the stats-aware
+    ``broadcast_if_small`` hint, which silently degrades to the plain plan
+    over the scale-up and lets AQE decide. Unhinted at test scale, Catalyst
+    builds hash relations from the RAW orders and lineitem scans instead —
+    backwards at 100 TB, where no fact table fits a broadcast."""
+    from instructionspipe_spark.session import broadcast_if_small
+
     region, nation, customer, orders, lineitem = _t(
         spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
     )
-    return (
+    dims = (
         F.broadcast(region.filter(F.col("r_name") == "ASIA"))
         .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
         .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
-        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("c_custkey", "n_name")
+    )
+    small = orders.join(
+        broadcast_if_small(dims), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "n_name")
+    return (
+        lineitem.join(broadcast_if_small(small), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
@@ -2093,4 +2112,39 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(ROUND(AVG(CAST(value AS DECIMAL(25,6)))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+                AS DOUBLE) AS mov_avg,
+           CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window FRAME specs (§2.6 beyond rank/lag): a trailing
+    4-row moving average (rowsBetween) and ntile bucketing over the same
+    partitioning — both reuse ONE sort/shuffle of (user_id, ts). Frames are
+    per-partition streams at any scale; the user_id filter pushes to the
+    scan."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-3, Window.currentRow)
+    return (
+        events.filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg(F.col("value").cast("decimal(25,6)")).over(frame), 4)
+            .cast("double")
+            .alias("mov_avg"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+        )
     )

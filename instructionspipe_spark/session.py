@@ -86,3 +86,32 @@ def ping(spark: SparkSession) -> bool:
     through the LLM before a run, inf.py:60-66; the engine's equivalent is a
     trivial distributed job proving executors answer)."""
     return spark.range(1).count() == 1
+
+
+def broadcast_if_small(df, threshold_bytes: int | None = None):
+    """Stats-aware broadcast hint: apply ``F.broadcast`` only when the
+    optimizer's size estimate for ``df`` fits the session's broadcast
+    threshold. A hard-coded hint is a scale bug in both directions — at test
+    scale Catalyst left unhinted happily broadcasts a raw fact table it
+    should stream; at 100 TB the same forced hint OOMs the driver when the
+    'small' side stopped being small.
+
+    The size proxy is the SUM OF LEAF SCAN BYTES of the optimized plan, not
+    the root estimate: without CBO column stats Catalyst's join estimates
+    are multiplicative (a 35 KB⋈2 KB join "estimates" 14 MB; one more join
+    clears any threshold), while leaf bytes are real file sizes. For the
+    selective inner equi-joins this hint is used on, output ≤ inputs is the
+    right direction, and the failure mode is conservative: big leaves at
+    100 TB always disable the hint.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if threshold_bytes is None:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        threshold_bytes = int(raw[:-1]) * 1024 * 1024 if raw.endswith("m") else int(raw)
+    if threshold_bytes <= 0:
+        return df
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    size = sum(leaves.apply(i).stats().sizeInBytes() for i in range(leaves.size()))
+    return F.broadcast(df) if size <= threshold_bytes else df

@@ -73,3 +73,60 @@ def test_q14_q18_broadcast_small_sides(spark):
 def test_q4_semi_q22_anti_join_types(spark):
     assert "LeftSemi" in _plan(spark, "q4_priority_exists")
     assert "LeftAnti" in _plan(spark, "q22_dormant_customers")
+
+
+def _raw_fact_broadcasts(spark, name: str) -> list:
+    """Fact scans feeding a BroadcastExchange through only Filter/Project —
+    i.e. the whole raw table is broadcast. Reduced sides (subtree contains a
+    Join or HashAggregate before the scan) are fine."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF)
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+
+    def indent(ln):
+        return len(ln) - len(ln.lstrip(" :+-"))
+
+    flagged = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        sub = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and indent(nxt) <= indent(ln):
+                break
+            sub.append(nxt)
+        reduced = any(("Join" in s or "HashAggregate" in s) for s in sub)
+        if not reduced:
+            for s in sub:
+                m = re.search(r"(lineitem|orders|events)\.parquet", s)
+                if m:
+                    flagged.append((name, m.group(1)))
+    return flagged
+
+
+def test_no_raw_fact_table_broadcasts(spark):
+    """The fact side must stream: broadcasting a raw lineitem/orders/events
+    scan only works while the file fits the threshold — at 100 TB it is the
+    wrong side by definition. Catalyst picks it unhinted at test scale, so
+    the explicit-broadcast structure of q3/q5/q18 is guarded here."""
+    import bench
+
+    flags = []
+    for name in bench.BENCH_QUERIES:
+        flags += _raw_fact_broadcasts(spark, name)
+    assert not flags, f"raw fact table broadcast in: {flags}"
+
+
+def test_broadcast_if_small_is_stats_gated(spark, tables):
+    from instructionspipe_spark.session import broadcast_if_small
+
+    small = tables["nation"].select("n_nationkey")
+    big_enough = broadcast_if_small(small)  # tiny leaf -> hinted
+    assert "ResolvedHint" in big_enough._jdf.queryExecution().analyzed().toString()
+    gated = broadcast_if_small(tables["lineitem"], threshold_bytes=10)
+    assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
+    off = broadcast_if_small(small, threshold_bytes=-1)  # threshold disabled
+    assert "ResolvedHint" not in off._jdf.queryExecution().analyzed().toString()
