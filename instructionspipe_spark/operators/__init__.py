@@ -9,7 +9,11 @@ of the data (md5-based pseudo-random ordering, min-key survivors) so results
 are reproducible across runs, partitionings and engines.
 """
 
-from instructionspipe_spark.operators.projection import scope_project, scope_markdown  # noqa: F401
+from instructionspipe_spark.operators.projection import (  # noqa: F401
+    parse_markdown_sections,
+    scope_markdown,
+    scope_project,
+)
 from instructionspipe_spark.operators.grouping import group_counts, distribution_check  # noqa: F401
 from instructionspipe_spark.operators.dedup import (  # noqa: F401
     exact_dedup,

@@ -2148,3 +2148,86 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(4).over(w).cast("int").alias("quartile"),
         )
     )
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue in a quarter.
+    The date-filtered orders side reduces first (stats-gated broadcast);
+    lineitem streams with the returnflag filter pushed to its scan; top-20
+    via TakeOrdered."""
+    from instructionspipe_spark.session import broadcast_if_small
+
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    q_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(broadcast_if_small(q_orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")), 2
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue", F.col("c_acctbal").cast("double").alias("acctbal")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n,
+           CAST(MAX(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', ts)) AS INT) AS days_since_epoch0
+    FROM events
+    WHERE user_id < 200
+    GROUP BY day, dow, hour_of_day
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 (date/math natively — the reference delegates ALL temporal
+    reasoning to the LLM, SURVEY.md §2.8): trunc/extract/diff as codegen
+    expressions. DuckDB dow is 0=Sunday; Spark dayofweek is 1=Sunday, hence
+    the -1."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id") < 200)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (F.dayofweek(F.col("ts")) - 1).cast("int").alias("dow"),
+            F.hour(F.col("ts")).cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date"))
+            ).cast("int").alias("days_since_epoch0"),
+        )
+    )

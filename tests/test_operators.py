@@ -296,3 +296,34 @@ def test_simhash_near_dedup_behavior(spark):
 
     with _pytest.raises(AssertionError, match="pigeonhole"):
         simhash_near_dedup(df, "doc_id", "text", bands=2, radius=3)
+
+
+def test_parse_markdown_sections_roundtrip(spark, tables):
+    """UDTF lateral join (§2.11): kv_markdown -> parse_markdown_sections
+    roundtrips headers and bodies."""
+    from instructionspipe_spark.operators.projection import (
+        parse_markdown_sections,
+        scope_markdown,
+    )
+
+    docs = tables["documents"].limit(5)
+    md = scope_markdown(docs, ["text", "lang"]).select("doc_id", "input_md")
+    out = parse_markdown_sections(md, "input_md", keep=["doc_id"])
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["section_idx"], r["header"]))
+    src = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
+    for doc_id, sections in by_doc.items():
+        headers = [h for _, h in sorted(sections)]
+        assert headers == ["text", "lang"]
+    # body fidelity
+    got = {(r["doc_id"], r["header"]): r["body"] for r in rows}
+    for doc_id, (text, lang) in src.items():
+        assert got[(doc_id, "text")] == text.strip()
+        assert got[(doc_id, "lang")] == lang
+    # empty/None handling: no rows for null markdown
+    from pyspark.sql import functions as F
+
+    nul = md.withColumn("input_md", F.lit(None).cast("string"))
+    assert parse_markdown_sections(nul, "input_md", keep=["doc_id"]).count() == 0
