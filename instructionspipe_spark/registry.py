@@ -2231,3 +2231,120 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("days_since_epoch0"),
         )
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE reuse (the revenue view feeds both the per-
+    supplier rows AND the MAX scalar subquery). The aggregate is computed
+    once and reused via a self-join against its own max — at scale the CTE
+    materializes as one shuffle, the max is a single-row broadcast."""
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        supplier.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select(
+            "s_suppkey", "s_name", F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) / 7.0, 4) AS DOUBLE)
+               AS avg_yearly,
+           COUNT(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(25,6)))
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery (per-part average
+    quantity) decorrelated into a groupBy + re-join — Spark evaluates the
+    per-part avg ONCE (one shuffle on partkey) instead of per probe row.
+    The brand filter prunes the probe side before the join."""
+    from instructionspipe_spark.session import broadcast_if_small
+
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (F.lit(0.2) * F.avg(F.col("l_quantity").cast("decimal(25,6)"))).alias("qty_cut")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        lineitem.join(broadcast_if_small(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("pp_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")) / F.lit(7.0), 4)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "variant_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           COUNT(*) AS n
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VariantType: ``parse_json`` once,
+    then typed ``try_variant_get`` paths — the open-schema analog of the
+    reference's untyped JSON records (every record is parsed JSON,
+    SURVEY.md §1.2). Variant's binary encoding parses each document ONCE
+    and serves any number of path extractions, vs per-path re-parsing with
+    get_json_object; at 100 TB the parse is the cost."""
+    (events,) = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("__k").alias("k_sum"),
+            F.max("__k").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -67,3 +67,51 @@ def test_random_query_matches_duckdb(spark, tables, duck, seed):
     for _ in range(5):
         sql = gen_query(rng)
         assert_df_equal(spark.sql(sql), duck.query(sql)), sql
+
+
+JOINS = [
+    # (left, right, cond, left group col, right-side int col)
+    ("orders", "lineitem", "o.o_orderkey = l.l_orderkey", "o.o_orderpriority", "l.l_linenumber"),
+    ("customer", "orders", "c.c_custkey = o.o_custkey", "c.c_mktsegment", "o.o_orderkey"),
+    ("events", "events", "a.user_id = b.user_id AND a.event_id < b.event_id", "a.event_type", "b.event_id"),
+]
+
+
+def gen_join_query(rng: random.Random) -> str:
+    left, right, cond, gcol, icol = rng.choice(JOINS)
+    la, ra = cond.split(".")[0], cond.split(" = ")[1].split(".")[0]
+    kind = rng.choice(["JOIN", "JOIN", "EXISTS", "NOT EXISTS"])
+    if kind in ("EXISTS", "NOT EXISTS"):
+        # semi/anti join spelled as (NOT) EXISTS — identical syntax in both
+        # engines (DuckDB's SEMI JOIN spelling differs from Spark's).
+        gc = gcol.replace("a.", f"{la}.")
+        sql = (
+            f"SELECT {gc}, COUNT(*) AS cnt FROM {left} {la} "
+            f"WHERE {kind} (SELECT 1 FROM {right} {ra} WHERE {cond}) "
+            f"GROUP BY {gc}"
+        )
+    else:
+        fn = rng.choice(["MIN", "MAX", "COUNT"])
+        sql = (
+            f"SELECT {gcol}, COUNT(*) AS cnt, {fn}({icol}) AS agg2 "
+            f"FROM {left} {la} JOIN {right} {ra} ON {cond} GROUP BY {gcol}"
+        )
+    if rng.random() < 0.5 and " WHERE " not in sql:
+        sql = sql.replace(" GROUP BY", f" WHERE {gcol} IS NOT NULL GROUP BY")
+    return sql
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_join_query_matches_duckdb(spark, tables, duck, seed):
+    """Join-grammar differential fuzz: inner/semi/anti equi-joins (incl. a
+    theta self-join) through Spark SQL and DuckDB verbatim."""
+    from instructionspipe_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    rng = random.Random(7000 + seed)
+    for _ in range(4):
+        sql = gen_join_query(rng)
+        try:
+            assert_df_equal(spark.sql(sql), duck.query(sql))
+        except AssertionError as e:
+            raise AssertionError(f"divergence on: {sql}\n{e}") from e

