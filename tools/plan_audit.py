@@ -98,13 +98,17 @@ def main() -> int:
         a = audit_plan(plan)
         flags = []
         if a["raw_fact_broadcasts"]:
-            # Hard only for the relational facts inside bench queries, where
-            # the implementations carry explicit reduced-side hints (mirrors
-            # tests/test_plans.py::test_no_raw_fact_table_broadcasts). The
-            # corpus side of dedup/similarity ops (documents/embeddings) is
-            # never hinted — Catalyst's choice there is stats-driven and
-            # flips to SMJ when the corpus outgrows the threshold.
-            rel = [f for f in a["raw_fact_broadcasts"] if f in ("lineitem", "orders", "events")]
+            # Largest-table rule (mirrors tests/test_plans.py::
+            # test_no_raw_fact_table_broadcasts): building the hash relation
+            # on the BIGGEST fact in the plan is backwards at every scale;
+            # broadcasting a smaller fact while a bigger one streams is the
+            # right local plan and flips to SMJ at real-scale stats. Hard
+            # only for bench queries (perf-graded, explicitly structured);
+            # corpus-side (documents/embeddings) broadcasts are never hinted.
+            rank = {"lineitem": 3, "orders": 2, "events": 1}
+            present = [f for f in rank if f + ".parquet" in plan]
+            biggest = max(present, key=lambda f: rank[f]) if present else None
+            rel = [f for f in a["raw_fact_broadcasts"] if f == biggest]
             if rel and name in bench_set:
                 flags.append(f"HARD RAW-FACT-BROADCAST={rel}")
                 hard += 1
