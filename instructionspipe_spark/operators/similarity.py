@@ -28,10 +28,15 @@ def brute_force_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
-    Ties broken by corpus id ascending for full determinism. Plan: broadcast
+    Ties broken by corpus id ascending for full determinism; ``rank_round``
+    ranks on the cosine ROUNDED to that many decimals, making the ordering
+    reproducible across engines whose float summation order differs (two
+    near-equal cosines can rank either way at full precision — a
+    differential-testing hazard, not a correctness one). Plan: broadcast
     the query side (queries << corpus always), compute cosine in codegen,
     rank with a window partitioned by query — the only shuffle is on
     query_id, whose cardinality = |queries|.
@@ -49,7 +54,8 @@ def brute_force_topk(
         F.col(corpus_id),
         dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    rank_key = F.round(F.col("cosine"), rank_round) if rank_round is not None else F.col("cosine")
+    w = Window.partitionBy(query_id).orderBy(F.desc(rank_key), F.asc(corpus_id))
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -93,6 +99,7 @@ def lsh_bucketed_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only corpus rows whose sign-LSH bucket
     matches the query's bucket. Recall/cost tradeoff via ``n_bits`` (2^bits
@@ -118,7 +125,8 @@ def lsh_bucketed_topk(
         F.col(corpus_id),
         dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    rank_key = F.round(F.col("cosine"), rank_round) if rank_round is not None else F.col("cosine")
+    w = Window.partitionBy(query_id).orderBy(F.desc(rank_key), F.asc(corpus_id))
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -134,6 +142,7 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    rank_round: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: k-means cells over the corpus (pyspark.ml KMeans),
     each query probes its ``n_probe`` nearest centroids and ranks only those
@@ -197,5 +206,6 @@ def ivf_topk(
         F.col(corpus_id),
         dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    rank_key = F.round(F.col("cosine"), rank_round) if rank_round is not None else F.col("cosine")
+    w = Window.partitionBy(query_id).orderBy(F.desc(rank_key), F.asc(corpus_id))
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

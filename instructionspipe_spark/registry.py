@@ -756,7 +756,7 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ops.brute_force_topk(embeddings, queries_df, 10)
+    out = ops.brute_force_topk(embeddings, queries_df, 10, rank_round=4)
     return out.select(
         "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
     )
@@ -1520,7 +1520,7 @@ def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = embeddings.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = lsh_bucketed_topk(embeddings, queries_df, k=5, n_bits=4)
+    out = lsh_bucketed_topk(embeddings, queries_df, k=5, n_bits=4, rank_round=4)
     return out.select("query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank")
 
 
@@ -1576,7 +1576,7 @@ def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = embeddings.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(embeddings, queries_df, k=5, n_cells=8, n_probe=2).select(
+    return ivf_topk(embeddings, queries_df, k=5, n_cells=8, n_probe=2, rank_round=4).select(
         "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
     )
 
