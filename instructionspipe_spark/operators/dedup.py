@@ -107,10 +107,19 @@ def minhash_signature_from_shingles(shingles: Column, num_perm: int = 16) -> Col
     # directly in all num_perm branches would copy the expression tree and
     # recompute the cryptographic hashes num_perm times (no CSE across
     # higher-order lambdas in Catalyst).
+    # NULL signature (not an array of NULLs) for empty shingle sets: a
+    # shared all-NULL signature would put every sub-ngram document into the
+    # same LSH bucket and, without jaccard verification, collapse them all.
+    # The guard lives INSIDE the lambda on the let-bound array — wrapping
+    # the outer expression would re-evaluate the shingles and break the
+    # let-binding (10x measured on the simhash twin).
     return F.element_at(
         F.transform(
             F.array(hashes),
-            lambda hs: F.array(*[perm_min(hs, a_const[i], b_const[i]) for i in range(num_perm)]),
+            lambda hs: F.when(
+                F.size(hs) > 0,
+                F.array(*[perm_min(hs, a_const[i], b_const[i]) for i in range(num_perm)]),
+            ),
         ),
         1,
     )
@@ -200,6 +209,7 @@ def _sig_band_pairs(with_sig: DataFrame, bands: int, rows_per_band: int) -> Data
             )
         ).alias("__band_hash"),
     )
+    banded = banded.filter(F.col("__band_hash").isNotNull())  # NULL-signature rows never pair
     w = Window.partitionBy("__band_idx", "__band_hash")
     return (
         banded.withColumn("__min_id", F.min("__id").over(w))
@@ -271,6 +281,13 @@ def simhash(text: Column, bits: int = 32, ngram: int = 3) -> Column:
     the fingerprint bit is 1 when the vote sum is positive. One md5 per
     shingle, then shift/mask arithmetic — per-row expression, no shuffle,
     mirrored in SQL with ``>>`` and ``%``.
+
+    Empty shingle sets (text shorter than ``ngram``, empty, or NULL) yield a
+    NULL fingerprint, NOT 0 — an all-zero fingerprint would silently collapse
+    every short-but-different document into one dedup survivor. NULL rows
+    pass through both dedup operators untouched (the same contract as the
+    NULL MinHash signature); run the low-length filter (P5) first to drop
+    them explicitly.
     """
     assert bits <= 48
     shingles = F.array_distinct(char_ngrams(text, n=ngram))
@@ -289,7 +306,11 @@ def simhash(text: Column, bits: int = 32, ngram: int = 3) -> Column:
             out = out + F.when(vote_sum(hs, b) > 0, F.lit(2**b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
-        return out
+        # NULL guard INSIDE the lambda, on the let-bound array: wrapping the
+        # whole element_at(transform(...)) in when(size(shingles) > 0, ...)
+        # re-evaluates the shingle expression AND broke the let-binding shape
+        # (10x measured on simhash_near_dedup).
+        return F.when(F.size(hs) > 0, out)
 
     # Same let-binding trick as minhash_signature: hash each shingle once,
     # then run all `bits` vote passes over the bound array.
@@ -306,7 +327,11 @@ def simhash_dedup(
 
     df = ensure_parallelism(df)
     with_fp = df.withColumn("__fp", simhash(F.col(text_col), bits=bits, ngram=ngram))
-    return exact_dedup(with_fp, ["__fp"], [id_col]).drop("__fp")
+    # NULL fingerprints (sub-ngram texts) are not comparable: they pass
+    # through; only rows with a real fingerprint deduplicate.
+    nulls = with_fp.filter(F.col("__fp").isNull()).drop("__fp")
+    deduped = exact_dedup(with_fp.filter(F.col("__fp").isNotNull()), ["__fp"], [id_col]).drop("__fp")
+    return deduped.unionByName(nulls)
 
 
 # ---------------------------------------------------------------------------
@@ -428,6 +453,11 @@ def simhash_near_dedup(
     dfp = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), simhash(F.col(text_col), bits=bits, ngram=ngram).alias("__fp")
     )
+    # NB: no isNotNull prefilter on __fp — Catalyst would push it through
+    # the projection by SUBSTITUTING the whole fingerprint expression into
+    # the predicate (recomputing it per row, 6x measured). NULL-fp rows are
+    # harmless: their pairs fail the bit_count(xor) predicate (NULL), so
+    # they never lose.
     banded = dfp.select(
         "__id",
         "__fp",

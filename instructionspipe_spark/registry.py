@@ -572,7 +572,11 @@ def _minhash_base_cte(num_perm: int, ngram: int = 3) -> str:
         FROM sh
     ),
     sig AS (
-        SELECT doc_id, {_minhash_sig_sql(num_perm)} AS __sig, __shingles FROM hashed
+        SELECT doc_id,
+               CASE WHEN len(__shingles) = 0 THEN NULL
+                    ELSE {_minhash_sig_sql(num_perm)} END AS __sig,
+               __shingles
+        FROM hashed
     )"""
 
 
@@ -657,9 +661,10 @@ def _simhash_oracle(bits: int = 32) -> str:
         f"(CASE WHEN list_sum(list_transform(__hashes, h -> ((h >> {b}) % 2) * 2 - 1)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
         for b in range(bits)
     )
+    # NULL fingerprint for empty shingle sets, mirroring operators.dedup.simhash.
     return (
         "WITH" + _minhash_base_cte(1) + f"""
-    SELECT doc_id, {terms} AS simhash FROM hashed
+    SELECT doc_id, CASE WHEN len(__shingles) = 0 THEN NULL ELSE {terms} END AS simhash FROM hashed
     """
     )
 
@@ -1900,7 +1905,7 @@ def _simhash_near_dedup_oracle(bits: int = 32, bands: int = 4, radius: int = 3) 
     )
     return (
         "WITH" + _minhash_base_cte(1) + f""",
-    fp AS (SELECT doc_id, {terms} AS fp FROM hashed),
+    fp AS (SELECT doc_id, CASE WHEN len(__shingles) = 0 THEN NULL ELSE {terms} END AS fp FROM hashed),
     banded AS (
         SELECT doc_id, fp, t.b AS band_idx, (fp >> (t.b * {bpb})) & {mask} AS bucket
         FROM fp CROSS JOIN (SELECT UNNEST(range(0, {bands})) AS b) t

@@ -327,3 +327,42 @@ def test_parse_markdown_sections_roundtrip(spark, tables):
 
     nul = md.withColumn("input_md", F.lit(None).cast("string"))
     assert parse_markdown_sections(nul, "input_md", keep=["doc_id"]).count() == 0
+
+
+def test_simhash_null_fingerprint_short_texts(spark):
+    """Sub-ngram / empty / NULL texts get a NULL fingerprint and pass
+    through both simhash dedup operators — an all-zero fingerprint would
+    collapse every short-but-different doc into one survivor."""
+    from instructionspipe_spark.operators.dedup import (
+        simhash,
+        simhash_dedup,
+        simhash_near_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, ""), (4, None), (5, "real content here ok"), (6, "real content here ok")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", simhash(F.col("text")).alias("fp")).collect()}
+    assert fps[1] is None and fps[3] is None and fps[4] is None
+    assert fps[5] is not None and fps[5] == fps[6]
+    assert sorted(r["doc_id"] for r in simhash_near_dedup(df, "doc_id", "text").collect()) == [1, 2, 3, 4, 5]
+    assert sorted(r["doc_id"] for r in simhash_dedup(df, "doc_id", "text").collect()) == [1, 2, 3, 4, 5]
+
+
+def test_minhash_null_signature_short_texts(spark):
+    """Sub-ngram texts get a NULL MinHash signature (not an array of NULLs)
+    and never become LSH candidates — even without jaccard verification,
+    where a shared all-NULL band hash would collapse them all."""
+    from instructionspipe_spark.operators.dedup import minhash_lsh_dedup, minhash_signature
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, ""), (4, None), (5, "the same long document text"), (6, "the same long document text")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", minhash_signature(F.col("text"), num_perm=4).alias("s")).collect()}
+    assert sigs[1] is None and sigs[3] is None and sigs[4] is None
+    assert sigs[5] is not None and sigs[5] == sigs[6]
+    # no-threshold dedup: only the exact-duplicate long doc collapses
+    kept = sorted(r["doc_id"] for r in minhash_lsh_dedup(df, "doc_id", "text").collect())
+    assert kept == [1, 2, 3, 4, 5]
