@@ -73,3 +73,47 @@ def multi_sink(df: DataFrame, sinks: dict[str, tuple[list[str], str]], fmt: str 
             df.select(*cols).write.mode(mode).format(fmt).save(path)
     finally:
         df.unpersist()
+
+
+def write_if_absent(df: DataFrame, path: str, fmt: str = "parquet") -> bool:
+    """Idempotent job-level write: skip when output already exists (the
+    reference's re-run protection — results JSONL is skipped if present,
+    ``apps/llm_as_a_judge/eval_with_facts.py:628,688-693``, and the
+    instructions pipeline appends incrementally, ``inf.py:45-55,80-85``).
+    Returns True when the write happened. Uses Hadoop's FileSystem so the
+    check works on any supported scheme (HDFS/S3A/local), not just the
+    driver's local disk; note this is job-level idempotence — for exactly-
+    once per-record semantics use Structured Streaming checkpoints
+    (streaming/jobs.py) instead."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        return False
+    df.write.format(fmt).mode("errorifexists").save(path)
+    return True
+
+
+def append_incremental(
+    df: DataFrame, path: str, dedup_keys: list[str] | None = None, fmt: str = "parquet"
+) -> None:
+    """Append-mode incremental sink (reference S7 append semantics) with
+    optional read-back dedup contract: with ``dedup_keys``, rows whose keys
+    already exist in the sink are NOT appended again — append-only storage
+    plus dedup-before-write, the same crash-safe pattern as the LLM cache
+    table (plans/cache.py). Readers that cannot tolerate duplicates from a
+    crashed writer should dedup on read with the same keys."""
+    if dedup_keys:
+        spark = df.sparkSession
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            from pyspark.sql import functions as F  # noqa: F401
+
+            existing = spark.read.format(fmt).load(path).select(*dedup_keys).distinct()
+            df = df.join(existing, dedup_keys, "left_anti")
+        df = df.dropDuplicates(dedup_keys)
+    df.write.format(fmt).mode("append").save(path)

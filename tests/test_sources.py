@@ -139,3 +139,23 @@ def test_bucketed_join_is_shuffle_free(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_if_absent_and_append_incremental(spark, tmp_path):
+    """Idempotent skip-if-exists write + append with key-level dedup (the
+    reference's re-run protection, eval_with_facts.py:688-693)."""
+    from instructionspipe_spark.sources.io import append_incremental, write_if_absent
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = str(tmp_path / "out")
+    assert write_if_absent(df, out) is True
+    assert write_if_absent(df, out) is False  # second run: skipped
+    assert spark.read.parquet(out).count() == 2
+
+    inc = str(tmp_path / "inc")
+    append_incremental(df, inc, dedup_keys=["id"])
+    # overlapping batch: only id=3 is new
+    df2 = spark.createDataFrame([(2, "b"), (3, "c"), (3, "c2")], ["id", "v"])
+    append_incremental(df2, inc, dedup_keys=["id"])
+    got = sorted(r["id"] for r in spark.read.parquet(inc).collect())
+    assert got == [1, 2, 3]
