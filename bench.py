@@ -84,11 +84,17 @@ def main() -> int:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: materialized in {timings[name]:.2f}s", file=sys.stderr)
+        # Min of 2 materializations: local[32] shares the host with other
+        # work, and one descheduled executor thread skews a single run by
+        # 2-3x. The min is the plan's cost; the noise is additive.
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        print(f"# {name}: materialized in {timings[name]:.2f}s (runs: {[round(r, 2) for r in runs]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

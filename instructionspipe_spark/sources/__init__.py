@@ -4,10 +4,12 @@ from instructionspipe_spark.sources.io import (  # noqa: F401
     append_incremental,
     read_csv,
     read_jsonl,
+    read_orc,
     read_parquet,
     read_binary_files,
     write_if_absent,
     write_jsonl,
+    write_orc,
     write_parquet,
     multi_sink,
 )

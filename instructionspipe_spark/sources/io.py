@@ -117,3 +117,15 @@ def append_incremental(
             df = df.join(existing, dedup_keys, "left_anti")
         df = df.dropDuplicates(dedup_keys)
     df.write.format(fmt).mode("append").save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -107,3 +107,63 @@ def test_capped_sample_cap_and_partition_invariance(spark, rows, cap):
         assert n == min(full[k], cap)
     again = capped_group_sample(df.repartition(5), ["k"], cap, seed=2, id_cols=["uid"])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xyz"), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(2, 16),
+)
+def test_salted_aggregate_invariant_to_buckets(spark, rows, buckets):
+    """Salting is semantically invisible: results equal the plain groupBy
+    for ANY bucket count and any data."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in salted_aggregate(
+            df, ["k"], {"n": ("count", "*"), "total": ("sum", "v"), "mx": ("max", "v")},
+            salt_buckets=buckets,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abcdef ghij"), min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_near_dedup_radius_monotone(spark, texts):
+    """Survivor sets shrink (or stay equal) as the Hamming radius grows, and
+    identical texts always collapse regardless of radius."""
+    from instructionspipe_spark.operators.dedup import simhash_near_dedup
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    s1 = {r["doc_id"] for r in simhash_near_dedup(df, "doc_id", "text", bands=4, radius=1).collect()}
+    s3 = {r["doc_id"] for r in simhash_near_dedup(df, "doc_id", "text", bands=4, radius=3).collect()}
+    assert s3 <= s1  # bigger radius never keeps more
+    # identical non-short texts collapse to the min id
+    seen = {}
+    for i, t in enumerate(texts):
+        seen.setdefault(t, []).append(i)
+    for t, ids in seen.items():
+        norm = t.replace(" ", "")
+        if len(ids) > 1 and len(norm) >= 3:
+            assert set(ids[1:]) & s3 == set()

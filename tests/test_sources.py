@@ -159,3 +159,13 @@ def test_write_if_absent_and_append_incremental(spark, tmp_path):
     append_incremental(df2, inc, dedup_keys=["id"])
     got = sorted(r["id"] for r in spark.read.parquet(inc).collect())
     assert got == [1, 2, 3]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from instructionspipe_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
