@@ -2373,3 +2373,64 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+           a.n AS n_low, b.n AS n_high
+    FROM (SELECT event_type, COUNT(*) AS n FROM events WHERE value < 10 GROUP BY event_type) a
+    FULL OUTER JOIN
+         (SELECT event_type, COUNT(*) AS n FROM events WHERE value > 90 GROUP BY event_type) b
+      ON a.event_type = b.event_type
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completes the join-type surface: inner/left/right
+    covered elsewhere, semi q4, anti q22). Full outer cannot broadcast
+    either side (both must be preserved) — always a shuffle join; both
+    inputs here are pre-aggregated so the shuffle moves group counts, not
+    rows."""
+    (events,) = _t(spark, sf_dir, "events")
+    low = (
+        events.filter(F.col("value") < 10)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_low"))
+    )
+    high = (
+        events.filter(F.col("value") > 90)
+        .groupBy(F.col("event_type").alias("et2"))
+        .agg(F.count(F.lit(1)).alias("n_high"))
+    )
+    return low.join(high, F.col("event_type") == F.col("et2"), "full_outer").select(
+        F.coalesce(F.col("event_type"), F.col("et2")).alias("event_type"),
+        "n_low",
+        "n_high",
+    )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, m.metric, m.val
+    FROM orders,
+         LATERAL (SELECT UNNEST(['totalprice', 'custkey']) AS metric,
+                         UNNEST([CAST(o_totalprice AS DOUBLE), CAST(o_custkey AS DOUBLE)]) AS val) m
+    WHERE o_orderkey < 100
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of pivot_event_matrix: wide columns to
+    (metric, value) rows via the native ``unpivot`` (Expand operator: one
+    narrow pass emitting N rows per input row, no shuffle, no UDTF)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
+    )
