@@ -44,8 +44,19 @@ def _nanos_ts_columns(path: str) -> list[str]:
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
-    """Load each parquet table as a DataFrame keyed by table name."""
+    """Load each parquet table as a DataFrame keyed by table name.
+
+    Self-sufficient on a *vanilla* SparkSession: the driver's correctness
+    gate builds its own bare session, so the nanos-timestamp legacy flag is
+    set here at read time (runtime-settable) rather than assumed from
+    :func:`instructionspipe_spark.session.get_spark`.
+    """
     from pyspark.sql import functions as F
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # already-fixed static conf or restricted session; reads may still work
 
     out: dict[str, DataFrame] = {}
     for name in names:

@@ -35,6 +35,7 @@ from instructionspipe_spark.operators.sampling import (  # noqa: F401
 from instructionspipe_spark.operators.splitting import grouped_split  # noqa: F401
 from instructionspipe_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
+    ivf_topk_deterministic,
     lsh_bucketed_topk,
 )
 from instructionspipe_spark.operators.asof import asof_join, range_join  # noqa: F401

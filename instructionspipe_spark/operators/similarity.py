@@ -130,6 +130,75 @@ def lsh_bucketed_topk(
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    rank_round: int | None = None,
+    assign_round: int = 6,
+) -> DataFrame:
+    """IVF ANN with a *data-seeded deterministic* coarse quantizer: the
+    centroids are the ``n_cells`` corpus vectors with the lowest ids
+    (no Lloyd iterations), so cell assignment is pure fixed-order float
+    arithmetic and the whole operator is SQL-expressible — this is the
+    oracle-gated twin of :func:`ivf_topk` (whose iterative k-means trainer
+    gives better cells but is engine-specific).
+
+    Plan shape is identical to production IVF: the centroid set is tiny and
+    broadcast; corpus cell assignment is one narrow broadcast-join pass with
+    a per-row top-1 window keyed by the corpus id (no shuffle of the fact
+    side beyond the window's hash on corpus_id); the probe is an equi-join
+    on the cell id with the query side broadcast. Assignment ranks on the
+    cosine rounded to ``assign_round`` decimals with the cell id as the tie
+    break, so two engines whose float formatting differs at the last ulp
+    still assign identically."""
+    from instructionspipe_spark.functions.vectors import dot_product, l2_normalize
+    from instructionspipe_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"))
+    # Centroids: lowest-id corpus vectors; executes as TakeOrdered (no sort
+    # of the full corpus). Cell id = the centroid's own corpus id.
+    cent = (
+        c.orderBy(corpus_id)
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("__cell"), F.col("__cnv").alias("__cent"))
+    )
+
+    def assign(df: DataFrame, id_col: str, vec_col: str, n_keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__cell"),
+            F.round(dot_product(F.col(vec_col), F.col("__cent")), assign_round).alias("__acos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__acos"), F.asc("__cell"))
+        return (
+            scored.withColumn("__ar", F.row_number().over(w))
+            .filter(F.col("__ar") <= n_keep)
+            .drop("__acos", "__ar")
+        )
+
+    c_cells = assign(c, corpus_id, "__cnv", 1)
+    q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qnv"))
+    q_probes = assign(q, query_id, "__qnv", n_probe)
+
+    joined = c_cells.join(F.broadcast(q_probes), "__cell").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
+    )
+    rank_key = F.round(F.col("cosine"), rank_round) if rank_round is not None else F.col("cosine")
+    w = Window.partitionBy(query_id).orderBy(F.desc(rank_key), F.asc(corpus_id))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

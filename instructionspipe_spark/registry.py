@@ -1193,14 +1193,33 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct")  # no oracle: HLL sketch result is engine-specific
+@query(
+    "approx_distinct",
+    # HLL sketches are engine-specific, so the gated contract is a
+    # bounded-error BOOLEAN both engines can compute: each engine runs its
+    # own approx_count_distinct and asserts |approx - exact| <= 15% * exact
+    # (Spark's default rsd is 5%; DuckDB's HLL is comparable). The exact
+    # count and the bound-holds flag hash-match; the sketch values don't
+    # travel.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+               <= CEIL(0.15 * COUNT(DISTINCT user_id)) AS hll_within_bound
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) per event_type, with exact count beside it
-    for sanity — rows-only driver check (sketches differ across engines)."""
+    """approx_count_distinct (HLL) per event_type, gated as a bounded-error
+    check: exact count plus a boolean asserting the engine's own sketch is
+    within 15% of exact."""
     (events,) = _t(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id")
+    exact = F.countDistinct("user_id")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= F.ceil(0.15 * exact)).alias("hll_within_bound"),
     )
 
 
@@ -1569,21 +1588,59 @@ def agentic_fanout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.to_json(F.col("agent_results")).alias("agent_state"))
 
 
-@query("similarity_ivf_topk")  # no oracle: iterative k-means training
+def _ivf_topk_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    """Oracle for the deterministic IVF: centroids are the ``n_cells``
+    lowest-id vectors; assignment ranks ROUND(cosine, 6) with cell-id tie
+    break — the exact rule of ivf_topk_deterministic, by construction."""
+    dot = "CAST(list_sum(list_transform(range(1, len(a.__nv) + 1), i -> a.__nv[i] * c.__cent[i])) AS DOUBLE)"
+    return f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cell, __nv AS __cent
+        FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {n_cells}
+    ),
+    c_assigned AS (
+        SELECT a.vec_id, a.__nv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({dot}, 6) DESC, c.cell ASC) AS __ar
+        FROM v a CROSS JOIN cent c
+    ),
+    c_cells AS (SELECT vec_id, __nv, cell FROM c_assigned WHERE __ar = 1),
+    q_probes AS (
+        SELECT vec_id AS query_id, __nv AS __qnv, cell
+        FROM c_assigned WHERE vec_id < 3 AND __ar <= {n_probe}
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               ROUND(CAST(list_sum(list_transform(range(1, len(q.__qnv) + 1),
+                                                  i -> q.__qnv[i] * a.__nv[i])) AS DOUBLE), 4) AS cosine
+        FROM c_cells a JOIN q_probes q ON a.cell = q.cell
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("similarity_ivf_topk", oracle=_ivf_topk_oracle())
 def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: k-means cells (pyspark.ml, seeded), probe the 2
-    nearest cells per query. Rows-only driver check — the trainer is
-    iterative, hence not SQL-expressible; correctness vs brute force is
-    asserted in tests/test_operators.py::test_ivf_topk_finds_self_and_orders."""
-    from instructionspipe_spark.operators.similarity import ivf_topk
+    """IVF ANN scale path, oracle-gated via the deterministic data-seeded
+    quantizer (operators/similarity.py ivf_topk_deterministic): centroids =
+    lowest-id vectors, corpus assignment one broadcast pass, probe equi-join
+    on the cell id. The iterative k-means twin (ivf_topk) stays library-only
+    with pytest coverage vs brute force."""
+    from instructionspipe_spark.operators.similarity import ivf_topk_deterministic
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(embeddings, queries_df, k=5, n_cells=8, n_probe=2, rank_round=4).select(
-        "query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank"
-    )
+    return ivf_topk_deterministic(
+        embeddings, queries_df, k=5, n_cells=8, n_probe=2, rank_round=4
+    ).select("query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -76,7 +76,13 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     Results of every operator in this package are partitioning-independent,
     so this never changes output."""
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    try:
+        # JVM-side RDD (lazy val, cached on the Dataset): avoids building the
+        # Python-conversion RDD pipeline that ``df.rdd`` constructs per call.
+        current = df._jdf.rdd().getNumPartitions()
+    except Exception:  # e.g. Spark Connect: no _jdf — fall back to public API
+        current = df.rdd.getNumPartitions()
+    if current < n:
         return df.repartition(n)
     return df
 
@@ -86,6 +92,38 @@ def ping(spark: SparkSession) -> bool:
     through the LLM before a run, inf.py:60-66; the engine's equivalent is a
     trivial distributed job proving executors answer)."""
     return spark.range(1).count() == 1
+
+
+_BYTE_SUFFIXES = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+    "p": 1024**5,
+    "pb": 1024**5,
+}
+
+
+def parse_byte_string(raw: str, default: int = 10 * 1024 * 1024) -> int:
+    """Parse a Spark byte-string conf value (``"10485760b"``, ``"64m"``,
+    ``"1gb"``, plain ``"10485760"``) into bytes, mirroring the JVM's
+    ``JavaUtils.byteStringAsBytes``. A vanilla session reports the default
+    broadcast threshold as ``"10485760b"`` — the bare ``b`` suffix must
+    parse, not crash. Unparseable input falls back to ``default`` (Spark's
+    10 MB broadcast default) so a hint helper can never kill a query."""
+    try:
+        s = str(raw).strip().lower()
+        for suffix in sorted(_BYTE_SUFFIXES, key=len, reverse=True):
+            if s.endswith(suffix):
+                return int(s[: -len(suffix)].strip()) * _BYTE_SUFFIXES[suffix]
+        return int(s)
+    except (ValueError, AttributeError):
+        return default
 
 
 def broadcast_if_small(df, threshold_bytes: int | None = None):
@@ -109,7 +147,7 @@ def broadcast_if_small(df, threshold_bytes: int | None = None):
     spark = df.sparkSession
     if threshold_bytes is None:
         raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-        threshold_bytes = int(raw[:-1]) * 1024 * 1024 if raw.endswith("m") else int(raw)
+        threshold_bytes = parse_byte_string(raw)
     if threshold_bytes <= 0:
         return df
     leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()

@@ -56,14 +56,22 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
-    from instructionspipe_spark import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="oracle-check")
-    con = duckdb.connect()
+    # VANILLA session on purpose: the driver's gate runs a bare
+    # SparkSession, so every query must be self-sufficient (no reliance on
+    # get_spark()'s confs). Round-1 lost 13 rows to exactly that gap.
     import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]").appName("oracle-check").getOrCreate()
+    )
+    con = duckdb.connect()
 
     for name in "region nation customer supplier part orders lineitem events documents embeddings".split():
         path = os.path.join(sf_dir, f"{name}.parquet")
