@@ -69,6 +69,21 @@ def word_count(col: Column | str) -> Column:
     return F.size(whitespace_tokens(col))
 
 
+def shingle_normalize(col: Column | str) -> Column:
+    """Shingling normalization: strip punctuation, lowercase, collapse
+    whitespace. The single source of truth shared by the expression shingler
+    (``char_ngrams``) and the Arrow shingle kernels in ``operators.dedup`` —
+    it runs JVM-side in both paths, so Java-vs-Python regex semantics can
+    never drift between them.
+
+    Unicode letter/number classes, not ``\\w``: Java ``\\w`` is ASCII-only and
+    would strip ALL non-Latin text, leaving empty shingle sets for
+    non-English documents. ``\\p{L}\\p{N}`` works identically in Java regex
+    (Spark) and RE2 (DuckDB oracle)."""
+    c = F.lower(F.regexp_replace(_c(col), r"[^\p{L}\p{N}\s]", ""))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def char_ngrams(col: Column | str, n: int = 3, strip_punct: bool = True) -> Column:
     """Character n-gram array after (optionally) stripping punctuation and
     collapsing whitespace — the shingle set for MinHash / Jaccard dedup.
@@ -78,12 +93,7 @@ def char_ngrams(col: Column | str, n: int = 3, strip_punct: bool = True) -> Colu
     """
     c = _c(col)
     if strip_punct:
-        # Unicode letter/number classes, not \w: Java \w is ASCII-only and
-        # would strip ALL non-Latin text, leaving empty shingle sets for
-        # non-English documents. \p{L}\p{N} works identically in Java
-        # regex (Spark) and RE2 (DuckDB oracle).
-        c = F.lower(F.regexp_replace(c, r"[^\p{L}\p{N}\s]", ""))
-        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        c = shingle_normalize(c)
     length = F.length(c)
     text = c
     # Guard: sequence(1, 0) would produce a DESCENDING [1, 0], not empty —

@@ -366,3 +366,35 @@ def test_minhash_null_signature_short_texts(spark):
     # no-threshold dedup: only the exact-duplicate long doc collapses
     kept = sorted(r["doc_id"] for r in minhash_lsh_dedup(df, "doc_id", "text").collect())
     assert kept == [1, 2, 3, 4, 5]
+
+
+def test_shingle_engines_identical(spark):
+    """The Arrow shingle kernel and the pure-expression engine must be
+    bit-identical for minhash signatures and simhash fingerprints — on
+    unicode (incl. non-Latin scripts where \\p{L} keeps characters a naive
+    \\w would strip), punctuation-only, whitespace-heavy, empty, NULL, and
+    astral-plane inputs. Normalization runs JVM-side in BOTH engines, so
+    only the slicing/hash/permute math can diverge; this pins it."""
+    from instructionspipe_spark.operators.dedup import minhash_signature, simhash
+
+    rows = [
+        (1, "The quick brown fox -- jumps!  over\tthe lazy dog."),
+        (2, "  múltiple   ESPACIOS  y acentós  "),
+        (3, "日本語のテキストでシングルを作る"),
+        (4, "!!! ... ???"),  # punctuation-only -> empty after normalize
+        (5, ""),
+        (6, None),
+        (7, "ab"),  # sub-ngram
+        (8, "𐌰𐌱𐌲 gothic letters 𐌰𐌱𐌲"),  # astral-plane \p{L}
+        (9, "mixed 123 numbers and WORDS"),
+        (10, "the same long document text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(3)
+    for make in (
+        lambda eng: minhash_signature(F.col("text"), num_perm=8, engine=eng),
+        lambda eng: simhash(F.col("text"), bits=32, engine=eng),
+        lambda eng: simhash(F.col("text"), bits=48, engine=eng),
+    ):
+        expr = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("expr").alias("v")).collect()}
+        arrow = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("arrow").alias("v")).collect()}
+        assert expr == arrow
