@@ -8,23 +8,48 @@ flowing through dedup/sampling/joins like any column, with decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas functions
 over ``mapInPandas``.
 
-Codec libraries (PIL, ffmpeg, torchaudio) are NOT available in this
-environment, so the decode step is pluggable: pass ``decode_fn`` to each
-operator, or rely on the default :func:`fake_decode` — a deterministic stub
-that derives pixel/sample statistics from the bytes themselves, keeping the
-Spark-side plumbing (schema, batching, partitioning, UDF signatures) real and
-fully tested. Swapping in a real codec is a one-argument change and touches
+Codec libraries are OPTIONAL: real PIL / pypdfium2 implementations
+(:func:`pil_decode`, :func:`pil_resize`, :func:`pdfium_render`) are used as
+operator defaults when the libraries import, with automatic fallback to the
+deterministic stubs otherwise (this environment has neither, so the stubs
+run here; the codec tests in ``tests/test_multimodal.py`` skip without the
+libs and exercise the real path when present). The decode step also stays
+pluggable per-call: pass ``decode_fn``/``resize_fn``/``pdf_fn`` to any
+operator. :func:`fake_decode` derives pixel/sample statistics from the bytes
+themselves, keeping the Spark-side plumbing (schema, batching, partitioning,
+UDF signatures) real and fully tested either way — swapping codecs touches
 no plan shape.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional image codec — absent in this environment
+    from PIL import Image as _PILImage
+except Exception:  # pragma: no cover - import guard
+    _PILImage = None
+
+try:  # optional PDF renderer — absent in this environment
+    import pypdfium2 as _pdfium
+except Exception:  # pragma: no cover - import guard
+    _pdfium = None
+
+
+def have_pil() -> bool:
+    """True when Pillow imported — the real image decode/resize default."""
+    return _PILImage is not None
+
+
+def have_pdfium() -> bool:
+    """True when pypdfium2 imported — the real PDF page renderer default."""
+    return _pdfium is not None
 
 #: Typed metadata carried beside every media binary column.
 MEDIA_META_TYPE = T.StructType(
@@ -80,11 +105,69 @@ def fake_decode(data: bytes) -> dict:
     return {"content_hash": digest, "n_bytes": len(data), "features": features}
 
 
+def pil_decode(data: bytes) -> dict:
+    """Real image decode (requires Pillow): content hash plus pixel
+    statistics — per-channel RGB mean and std, and normalized dimensions —
+    as the FEATURE_DIM feature vector. Same output contract as
+    :func:`fake_decode`, so the two are drop-in interchangeable."""
+    if _PILImage is None:
+        raise NotImplementedError("Pillow is not installed; use fake_decode or pass decode_fn")
+    import numpy as np
+
+    img = _PILImage.open(io.BytesIO(data)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    w, h = img.size
+    features = (
+        arr.mean(axis=(0, 1)).tolist()
+        + arr.std(axis=(0, 1)).tolist()
+        + [min(w / 4096.0, 1.0), min(h / 4096.0, 1.0)]
+    )[:FEATURE_DIM]
+    return {
+        "content_hash": hashlib.sha256(data).hexdigest(),
+        "n_bytes": len(data),
+        "features": features,
+    }
+
+
+def pil_resize(data: bytes, w: int, h: int) -> bytes:
+    """Real image resize (requires Pillow): decode, resample to (w, h),
+    re-encode in the source format (PNG when the format is unknown)."""
+    if _PILImage is None:
+        raise NotImplementedError("Pillow is not installed; pass resize_fn")
+    img = _PILImage.open(io.BytesIO(data))
+    fmt = img.format or "PNG"
+    out = io.BytesIO()
+    img.resize((w, h)).save(out, format=fmt)
+    return out.getvalue()
+
+
+def pdfium_render(data: bytes, dpi: int = 600) -> list:
+    """Real PDF -> page PNG bytes (requires pypdfium2); mirrors the
+    reference's 600-dpi page rendering
+    (``apps/poc-instruction-gen/run_example2template.py:77-149``)."""
+    if _pdfium is None:
+        raise NotImplementedError("pypdfium2 is not installed; pass pdf_fn")
+    doc = _pdfium.PdfDocument(data)
+    pages = []
+    try:
+        for page in doc:
+            buf = io.BytesIO()
+            page.render(scale=dpi / 72.0).to_pil().save(buf, format="PNG")
+            pages.append(buf.getvalue())
+    finally:
+        doc.close()
+    return pages
+
+
 def extract_features(
-    df: DataFrame, binary_col: str = "content", decode_fn=fake_decode
+    df: DataFrame, binary_col: str = "content", decode_fn=None
 ) -> DataFrame:
     """Decode + feature-extract each media binary via Arrow-batched
     ``mapInPandas``. Output adds (content_hash, n_bytes, features[FEATURE_DIM]).
+
+    ``decode_fn`` defaults to :func:`pil_decode` when Pillow is installed
+    and the deterministic :func:`fake_decode` otherwise; callers that need
+    reproducible features across environments should pass one explicitly.
 
     Plan shape at scale: narrow map over repartitioned binaries — no shuffle;
     batch size is the Arrow batch, so decoder memory is bounded regardless of
@@ -92,6 +175,8 @@ def extract_features(
     """
     from instructionspipe_spark.session import ensure_parallelism
 
+    if decode_fn is None:
+        decode_fn = pil_decode if have_pil() else fake_decode
     df = ensure_parallelism(df)
     out_schema = T.StructType(df.schema.fields + list(_FEATURE_SCHEMA.fields))
 
@@ -122,20 +207,24 @@ def resize_images(
     """Resize plumbing: rewrites the binary + updates metadata dims.
 
     ``resize_fn(data: bytes, w: int, h: int) -> bytes`` is the pluggable
-    codec; the default stub raises ``NotImplementedError`` at *runtime* only
-    if a non-null binary is actually processed without a codec — the plan
-    itself (schema, metadata rewrite) is real either way. Pass
-    ``resize_fn=passthrough_resize`` for tests.
+    codec; the default is :func:`pil_resize` when Pillow is installed, else
+    a stub raising ``NotImplementedError`` at *runtime* only if a non-null
+    binary is actually processed — the plan itself (schema, metadata
+    rewrite) is real either way. Pass ``resize_fn=passthrough_resize`` for
+    tests.
     """
     from instructionspipe_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
 
     if resize_fn is None:
-        def resize_fn(data: bytes, w: int, h: int) -> bytes:  # noqa: ARG001
-            raise NotImplementedError(
-                "image codec not available in this environment; pass resize_fn"
-            )
+        if have_pil():
+            resize_fn = pil_resize
+        else:
+            def resize_fn(data: bytes, w: int, h: int) -> bytes:  # noqa: ARG001
+                raise NotImplementedError(
+                    "image codec not available in this environment; pass resize_fn"
+                )
 
     schema = df.schema
 
@@ -224,18 +313,21 @@ def pdf_to_page_images(
     pages at 600 dpi and base64-encodes them for multimodal prompts).
 
     ``pdf_fn(data: bytes, dpi: int) -> list[bytes]`` is the pluggable
-    renderer (pdf2image/PIL are not in this environment — REAL RENDERING IS
-    STUBBED and raises unless a codec is injected). Output: one row per page
+    renderer; the default is :func:`pdfium_render` when pypdfium2 is
+    installed, else a stub that raises at runtime. Output: one row per page
     with ``page_index`` and the page image bytes in ``binary_col``."""
     from pyspark.sql import types as T
 
     from instructionspipe_spark.session import ensure_parallelism
 
     if pdf_fn is None:
-        def pdf_fn(data: bytes, dpi: int) -> list:  # noqa: ARG001
-            raise NotImplementedError(
-                "pdf renderer not available in this environment; pass pdf_fn"
-            )
+        if have_pdfium():
+            pdf_fn = pdfium_render
+        else:
+            def pdf_fn(data: bytes, dpi: int) -> list:  # noqa: ARG001
+                raise NotImplementedError(
+                    "pdf renderer not available in this environment; pass pdf_fn"
+                )
 
     df = ensure_parallelism(df)
     fields = [f for f in df.schema.fields if f.name != binary_col]

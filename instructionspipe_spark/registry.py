@@ -1342,7 +1342,12 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub derives features from sha256 of the bytes) — the ONE kernel-based
     query with a full SQL oracle, proving the Python<->JVM batch path
     byte-exact against DuckDB."""
-    from instructionspipe_spark.operators.multimodal import FEATURE_DIM, extract_features, media_struct
+    from instructionspipe_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        fake_decode,
+        media_struct,
+    )
 
     (documents,) = _t(spark, sf_dir, "documents")
     media = documents.select(
@@ -1350,7 +1355,10 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
         media_struct("text", "utf-8").alias("meta"),
     )
-    feats = extract_features(media)
+    # decode_fn pinned to the deterministic stub: the oracle mirrors its
+    # sha256-derived features, and the operator default may upgrade to a
+    # real codec (pil_decode) when one is installed.
+    feats = extract_features(media, decode_fn=fake_decode)
     return feats.select(
         "doc_id",
         "content_hash",

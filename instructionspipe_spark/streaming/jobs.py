@@ -182,6 +182,13 @@ def stateful_running_dedup_count_tws(
     checkpointing (required: set
     ``spark.sql.streaming.stateStore.providerClass`` to
     ``...RocksDBStateStoreProvider`` before starting the stream).
+
+    Runtime dependency: the ``protobuf`` package (the StatefulProcessor API
+    client talks protobuf to the JVM state server; pyspark ships it only in
+    the ``connect`` extra). Without it the driver worker crashes at PRE_INIT
+    with ``ImportError: cannot import name 'descriptor' from
+    'google.protobuf'`` — see tests/test_streaming.py for the full
+    diagnosis.
     """
     import hashlib
 

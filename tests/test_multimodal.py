@@ -84,3 +84,63 @@ def test_pdf_requires_codec(spark):
     df = spark.createDataFrame([(1, b"%PDF-fake")], "pdf_id int, content binary")
     with pytest.raises(Exception, match="renderer not available"):
         mm.pdf_to_page_images(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# Real-codec paths: exercised when the optional libs import, skipped here
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not mm.have_pil(), reason="Pillow not installed")
+def test_pil_decode_and_resize_real(spark):
+    """With Pillow present, extract_features defaults to pil_decode (pixel
+    statistics) and resize_images defaults to pil_resize."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), color=(255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, png)], "media_id int, content binary"
+    ).withColumn("meta", mm.media_struct("image", "png", width=32, height=16))
+    feats = mm.extract_features(df).first()
+    assert feats["n_bytes"] == len(png)
+    # solid red: mean R ~1.0, G/B ~0.0; stds ~0
+    f = feats["features"]
+    assert abs(f[0] - 1.0) < 1e-6 and abs(f[1]) < 1e-6 and abs(f[2]) < 1e-6
+    resized = mm.resize_images(df, target_width=8, target_height=8).first()
+    img = Image.open(io.BytesIO(bytes(resized["content"])))
+    assert img.size == (8, 8)
+    assert resized["meta"]["width"] == 8 and resized["meta"]["height"] == 8
+
+
+@pytest.mark.skipif(not mm.have_pdfium(), reason="pypdfium2 not installed")
+def test_pdfium_render_real(spark):
+    """With pypdfium2 present, pdf_to_page_images renders real pages."""
+    import pypdfium2 as pdfium
+
+    doc = pdfium.PdfDocument.new()
+    doc.new_page(200, 100)
+    import io
+
+    buf = io.BytesIO()
+    doc.save(buf)
+    df = spark.createDataFrame([(1, buf.getvalue())], "pdf_id int, content binary")
+    rows = mm.pdf_to_page_images(df, dpi=72).collect()
+    assert len(rows) == 1 and rows[0]["page_index"] == 0
+    assert bytes(rows[0]["content"]).startswith(b"\x89PNG")
+
+
+def test_codec_stubs_raise_without_libs():
+    """Direct calls to the real-codec helpers fail loudly when libs are
+    absent (instead of silently faking)."""
+    if not mm.have_pil():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.pil_decode(b"x")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.pil_resize(b"x", 2, 2)
+    if not mm.have_pdfium():
+        with pytest.raises(NotImplementedError, match="pypdfium2"):
+            mm.pdfium_render(b"x")

@@ -40,6 +40,29 @@ for name in ("q3_top_orders", "group_counts", "tumbling_window_agg", "similarity
     print(name, n)
     assert n > 0, name
 print("VANILLA_OK")
+
+# Differential fuzz on the SAME bare session: the suite's fuzzer otherwise
+# only ever sees get_spark()'s confs, which is exactly how the round-1
+# vanilla-session crashes slipped through to the driver's gate.
+import os
+import random
+
+import duckdb
+
+from instructionspipe_spark.catalog import register_views
+from tests.conftest import assert_df_equal
+from tests.test_sql_fuzz import gen_join_query, gen_query
+
+register_views(spark, SF_DIR)
+con = duckdb.connect()
+for name in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    p = os.path.join(SF_DIR, name + ".parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+rng = random.Random(4242)
+for sql in [gen_query(rng) for _ in range(4)] + [gen_join_query(rng) for _ in range(3)]:
+    assert_df_equal(spark.sql(sql), con.query(sql)), sql
+print("FUZZ_VANILLA_OK")
 """
 
 
@@ -52,6 +75,7 @@ def test_gated_queries_on_bare_session():
         timeout=300,
     )
     assert "VANILLA_OK" in proc.stdout, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    assert "FUZZ_VANILLA_OK" in proc.stdout, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
 
 
 @pytest.mark.parametrize(
