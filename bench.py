@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "similarity_brute_topk",
     "token_quality_stats",
+    "language_quality",
+    "sequence_packing",
     "asof_join_purchases",
     "tumbling_window_agg",
     "session_windows",

@@ -39,6 +39,10 @@ from instructionspipe_spark.operators.similarity import (  # noqa: F401
     lsh_bucketed_topk,
 )
 from instructionspipe_spark.operators.asof import asof_join, range_join  # noqa: F401
+from instructionspipe_spark.operators.packing import (  # noqa: F401
+    pack_greedy_firstfit,
+    pack_token_stream,
+)
 from instructionspipe_spark.operators.textstats import (  # noqa: F401
     detect_language,
     doc_fingerprint,

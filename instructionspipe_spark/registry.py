@@ -798,6 +798,137 @@ def token_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stopword_ratio_sql(lang: str) -> str:
+    from instructionspipe_spark.operators.textstats import _STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"CASE WHEN len(__toks) > 0 THEN CAST(len(list_filter(__toks, t -> t IN ({words}))) AS DOUBLE)"
+        f" / len(__toks) ELSE 0.0 END"
+    )
+
+
+def _language_quality_oracle() -> str:
+    from instructionspipe_spark.operators.textstats import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    ratio_cols = ",\n               ".join(
+        f"{_stopword_ratio_sql(lg)} AS s_{lg}" for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    # tie-break mirrors detect_language: first language in inventory order
+    detect = "CASE WHEN __best <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = __best THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g')), '\s+'), t -> t <> '') AS __toks,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS __words
+        FROM documents
+    ),
+    ratios AS (
+        SELECT *,
+               {ratio_cols}
+        FROM toks
+    ),
+    scored AS (
+        SELECT *, {best} AS __best FROM ratios
+    ),
+    labeled AS (
+        SELECT doc_id, lang, __words, __best, text,
+               {detect} AS lang_detected
+        FROM scored
+    )
+    SELECT doc_id, lang, lang_detected,
+           ((CASE WHEN len(__words) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN len(__words) > 0
+                     AND CAST(length(text) AS DOUBLE) / len(__words) BETWEEN 3.0 AND 12.0
+                    THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN length(text) = 0
+                     OR CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
+                    THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN __best > 0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+           lang_detected = lang AS lang_agrees
+    FROM labeled
+    """
+
+
+@query("language_quality", oracle=_language_quality_oracle())
+def language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analysis: stopword-ratio language ID (argmax over a
+    fixed per-language inventory, 'und' when no evidence, ties to inventory
+    order) plus the composite C4/Gopher-style quality score, with agreement
+    against the labeled lang column. Pure expressions, single text pass —
+    the quality components are exact quarters so no float rounding is
+    needed for cross-engine parity.
+
+    Two-step projection: the stopword tokenization is materialized ONCE as
+    ``__toks`` and every ratio reads the column (CollapseProject keeps the
+    split: non-cheap, multiply referenced). Inlining it tokenized ~8x —
+    measured 1.26s -> this form at sf0.1."""
+    from instructionspipe_spark.operators.textstats import (
+        _lower_tokens,
+        detect_language_from_tokens,
+        quality_score_from_tokens,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toked = documents.select("doc_id", "lang", "text", _lower_tokens(t).alias("__toks"))
+    base = toked.select(
+        "doc_id",
+        "lang",
+        detect_language_from_tokens(F.col("__toks")).alias("lang_detected"),
+        quality_score_from_tokens(t, F.col("__toks")).alias("quality"),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "lang_detected",
+        "quality",
+        (F.col("lang_detected") == F.col("lang")).alias("lang_agrees"),
+    )
+
+
+_TOKEN_COUNT_SQL = r"""CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), w -> CAST(ceil(len(w) / 4.0) AS BIGINT)))
+                + len(list_filter(string_split_regex(text, '[0-9A-Za-z_\s]+'), s -> s <> '')) AS BIGINT)"""
+
+
+@query(
+    "sequence_packing",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, lang, {_TOKEN_COUNT_SQL} AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM tok
+    )
+    SELECT doc_id, lang, n_tokens,
+           cb // 512 AS start_bin,
+           cb % 512 AS start_offset,
+           CASE WHEN n_tokens > 0 THEN (cb + n_tokens - 1) // 512
+                ELSE cb // 512 - 1 END AS end_bin
+    FROM cum
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (training-pipeline north star): per
+    language, documents in id order form a token stream sliced into 512-token
+    context windows; each document learns its start window/offset and end
+    window. One cumulative-sum window over the group key — a single shuffle;
+    zero-token documents get end_bin = start_bin - 1 (occupy nothing)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    with_tok = documents.select(
+        "doc_id", "lang", ops.token_count(F.col("text")).alias("n_tokens")
+    )
+    return ops.pack_token_stream(with_tok, "doc_id", "n_tokens", "lang", capacity=512)
+
+
 @query(
     "doc_fingerprints",
     oracle=r"""
