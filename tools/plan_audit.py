@@ -59,8 +59,11 @@ def audit_plan(plan: str) -> dict:
                     raw_fact_broadcasts.append(m.group(1))
         if "CartesianProduct" in ln or "BroadcastNestedLoopJoin" in ln:
             sub = _subtree(lines, i)
-            if any("HashAggregate" in s or "Limit" in s for s in sub):
-                soft_cartesian += 1  # scalar-subquery shape: one-row side
+            # Bounded side => not a scale risk: scalar-subquery shapes
+            # (HashAggregate/Limit) and constant-k TakeOrdered sides (e.g.
+            # the IVF centroid set = orderBy().limit(n_cells)).
+            if any("HashAggregate" in s or "Limit" in s or "TakeOrdered" in s for s in sub):
+                soft_cartesian += 1
             else:
                 hard_cartesian += 1
     return {
