@@ -13,6 +13,11 @@ from instructionspipe_spark.sources.io import (  # noqa: F401
     write_parquet,
     multi_sink,
 )
+from instructionspipe_spark.sources.hf import (  # noqa: F401
+    have_hf_datasets,
+    read_arrow_ipc,
+    read_hf_dataset,
+)
 from instructionspipe_spark.sources.bucketing import (  # noqa: F401
     bucketed,
     is_bucket_join_colocated,

@@ -169,3 +169,75 @@ def test_orc_roundtrip(spark, tmp_path):
     write_orc(df, p)
     back = read_orc(spark, p)
     assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+# ---------------------------------------------------------------------------
+# S4: HF-datasets adapter / distributed Arrow IPC reader
+# ---------------------------------------------------------------------------
+
+
+def _write_arrow_shard(path, rows, stream=False):
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    table = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    opener = ipc.new_stream if stream else ipc.new_file
+    with opener(path, table.schema) as w:
+        w.write_table(table)
+
+
+def test_read_arrow_ipc_multi_shard(spark, tmp_path):
+    """save_to_disk-style directory of .arrow shards reads distributed
+    (one task per file) with the union of all shards."""
+    from instructionspipe_spark.sources.hf import read_arrow_ipc
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    _write_arrow_shard(str(d / "data-00000.arrow"), [(1, "a"), (2, "b")])
+    _write_arrow_shard(str(d / "data-00001.arrow"), [(3, "c")])
+    out = read_arrow_ipc(spark, str(d))
+    assert sorted((r["id"], r["text"]) for r in out.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_read_arrow_ipc_stream_format(spark, tmp_path):
+    from instructionspipe_spark.sources.hf import read_arrow_ipc
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    _write_arrow_shard(str(d / "s.arrow"), [(7, "x"), (8, "y")], stream=True)
+    out = read_arrow_ipc(spark, str(d))
+    assert sorted(r["id"] for r in out.collect()) == [7, 8]
+
+
+def test_read_hf_dataset_local_layouts(spark, tmp_path):
+    """read_hf_dataset prefers parquet shards, falls back to arrow, and
+    resolves save_to_disk split subdirectories."""
+    from instructionspipe_spark.sources.hf import read_hf_dataset
+
+    pq = tmp_path / "pq"
+    pq.mkdir()
+    spark.createDataFrame([(1, "p")], "id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(pq))
+    assert [r["text"] for r in read_hf_dataset(spark, str(pq)).collect()] == ["p"]
+
+    split_ds = tmp_path / "ds2"
+    (split_ds / "train").mkdir(parents=True)
+    _write_arrow_shard(str(split_ds / "train" / "data-00000.arrow"), [(5, "t")])
+    out = read_hf_dataset(spark, str(split_ds), split="train")
+    assert [(r["id"], r["text"]) for r in out.collect()] == [(5, "t")]
+
+
+def test_read_hf_dataset_hub_name_requires_lib():
+    import pytest
+
+    from instructionspipe_spark.sources.hf import have_hf_datasets, read_hf_dataset
+
+    if not have_hf_datasets():
+        with pytest.raises(NotImplementedError, match="datasets"):
+            read_hf_dataset(None, "imdb")
