@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "token_quality_stats",
     "language_quality",
     "sequence_packing",
+    "weighted_corpus_sample",
     "asof_join_purchases",
     "tumbling_window_agg",
     "session_windows",

@@ -29,8 +29,10 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
 )
 from instructionspipe_spark.operators.sampling import (  # noqa: F401
     capped_group_sample,
+    hash_uniform,
     seeded_shuffle,
     seeded_head,
+    weighted_sample,
 )
 from instructionspipe_spark.operators.splitting import grouped_split  # noqa: F401
 from instructionspipe_spark.operators.similarity import (  # noqa: F401

@@ -54,3 +54,53 @@ def seeded_head(df: DataFrame, n: int, seed: int, id_cols: list[str]) -> DataFra
     shuffle. Spark executes this as a TakeOrdered (per-partition top-n then
     merge) — no full sort materialization."""
     return seeded_shuffle(df, seed, id_cols).limit(n)
+
+
+def hash_uniform(seed: int | str, *cols: Column) -> Column:
+    """Deterministic uniform in (0, 1): 48-bit md5 slice scaled into the open
+    interval — the same engine-portable trick as :func:`pseudo_random`, but
+    numeric so it can parameterize weighted keys."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(str(seed)), *sum([[F.lit("|"), c.cast("string")] for c in cols], []))), 1, 12), 16, 10).cast("double")
+    return (h + F.lit(1.0)) / F.lit(float((1 << 48) + 1))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    seed: int,
+    id_cols: list[str],
+    group_cols: list[str] | None = None,
+    key_round: int = 6,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis): each row
+    draws ``u = hash_uniform(seed, ids)`` and ranks by ``ln(u) / w``
+    descending — the top ``n`` rows per group are exactly a w-weighted
+    draw. Deterministic under any partitioning; rows with weight <= 0 are
+    excluded (zero mass). One shuffle (the per-group window; a TakeOrdered
+    when ungrouped).
+
+    Ranking uses the key ROUNDED to ``key_round`` decimals with the id
+    columns as tie-break: Spark and an oracle engine may differ in the last
+    ulp of ``ln``, and an unrounded rank would flip near-ties between
+    engines (same rule as the similarity top-k operators).
+    """
+    w = F.col(weight_col).cast("double")
+    u = hash_uniform(seed, *[F.col(c) for c in id_cols])
+    key = F.round(F.log(u) / w, key_round)
+    filtered = df.filter(w > 0)
+    order = [F.desc("__wkey")] + [F.asc(c) for c in id_cols]
+    if group_cols:
+        win = Window.partitionBy(*group_cols).orderBy(*order)
+        return (
+            filtered.withColumn("__wkey", key)
+            .withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= n)
+            .drop("__wkey", "__rn")
+        )
+    return (
+        filtered.withColumn("__wkey", key)
+        .orderBy(*order)
+        .limit(n)
+        .drop("__wkey")
+    )

@@ -891,6 +891,68 @@ def language_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_sql() -> str:
+    """DuckDB mirror of quality_score over `text` given __toks/__words CTE
+    columns (see _language_quality_oracle)."""
+    from instructionspipe_spark.operators.textstats import _STOPWORDS
+
+    best = "greatest(" + ", ".join(_stopword_ratio_sql(lg) for lg in _STOPWORDS) + ")"
+    return f"""((CASE WHEN len(__words) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN len(__words) > 0
+                     AND CAST(length(text) AS DOUBLE) / len(__words) BETWEEN 3.0 AND 12.0
+                    THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN length(text) = 0
+                     OR CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
+                    THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN {best} > 0 THEN 1.0 ELSE 0.0 END)) / 4.0"""
+
+
+def _weighted_sample_oracle(n: int = 20, seed: int = 7) -> str:
+    seeded_id = f"'{seed}' || '|' || CAST(doc_id AS VARCHAR)"
+    u = f"({_hash48_sql(seeded_id)} + 1.0) / {float((1 << 48) + 1)!r}"
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g')), '\s+'), t -> t <> '') AS __toks,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS __words
+        FROM documents
+    ),
+    weighted AS (
+        SELECT doc_id, lang, {_quality_sql()} AS quality FROM toks
+    ),
+    keyed AS (
+        SELECT doc_id, lang, quality,
+               ROUND(ln({u}) / quality, 6) AS __wkey
+        FROM weighted WHERE quality > 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY __wkey DESC, doc_id) AS __rn
+        FROM keyed
+    )
+    SELECT doc_id, lang, quality FROM ranked WHERE __rn <= {n}
+    """
+
+
+@query("weighted_corpus_sample", oracle=_weighted_sample_oracle())
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: Efraimidis-Spirakis without
+    replacement, 20 docs per language, weight = the composite quality score
+    (zero-quality docs carry no mass and are excluded). The uniform draw is
+    md5-derived from (seed, doc_id), so the sample is identical under any
+    partitioning and in any engine; ranking uses the rounded key with
+    doc_id tie-break for cross-engine float safety."""
+    from instructionspipe_spark.operators.textstats import _lower_tokens, quality_score_from_tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toked = documents.select("doc_id", "lang", "text", _lower_tokens(F.col("text")).alias("__toks"))
+    weighted = toked.select(
+        "doc_id", "lang", quality_score_from_tokens(F.col("text"), F.col("__toks")).alias("quality")
+    )
+    return ops.weighted_sample(
+        weighted, "quality", 20, seed=7, id_cols=["doc_id"], group_cols=["lang"]
+    )
+
+
 _TOKEN_COUNT_SQL = r"""CAST(list_sum(list_transform(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), w -> CAST(ceil(len(w) / 4.0) AS BIGINT)))
                 + len(list_filter(string_split_regex(text, '[0-9A-Za-z_\s]+'), s -> s <> '')) AS BIGINT)"""
 

@@ -398,3 +398,36 @@ def test_shingle_engines_identical(spark):
         expr = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("expr").alias("v")).collect()}
         arrow = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("arrow").alias("v")).collect()}
         assert expr == arrow
+
+
+def test_weighted_sample_properties(spark):
+    """Efraimidis-Spirakis sampler: deterministic across partitionings,
+    excludes zero/negative weights, returns n per group, and across many
+    seeds picks high-weight rows far more often than low-weight ones."""
+    from instructionspipe_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "g", 10.0 if i < 5 else 0.1) for i in range(50)] + [
+        (100, "g", 0.0),
+        (101, "g", -1.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    base = sorted(
+        r["id"] for r in weighted_sample(df, "w", 5, seed=3, id_cols=["id"], group_cols=["grp"]).collect()
+    )
+    assert len(base) == 5 and 100 not in base and 101 not in base
+    again = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(7), "w", 5, seed=3, id_cols=["id"], group_cols=["grp"]).collect()
+    )
+    assert base == again
+    heavy_hits = 0
+    for seed in range(12):
+        picked = [
+            r["id"] for r in weighted_sample(df, "w", 5, seed=seed, id_cols=["id"], group_cols=["grp"]).collect()
+        ]
+        heavy_hits += sum(1 for i in picked if i < 5)
+    # 5 heavy rows at weight 10 vs 45 light at 0.1: heavy dominate the draw
+    assert heavy_hits >= 12 * 3, heavy_hits
+    # ungrouped path: TakeOrdered top-n
+    top = weighted_sample(df, "w", 3, seed=1, id_cols=["id"]).count()
+    assert top == 3
