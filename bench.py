@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",
     "simhash_fingerprints",
     "simhash_near_dedup",
+    "jaccard_pairs_lsh",
     "similarity_lsh_topk",
     "embedding_near_dup",
     "similarity_brute_topk",

@@ -701,10 +701,67 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram Jaccard near-dup pairs, blocked by lang."""
+    """N-gram Jaccard near-dup pairs, blocked by lang. Blocking on a
+    metadata column is quadratic WITHIN the block — acceptable only when
+    blocks stay task-sized; `jaccard_pairs_lsh` is the scale path (linear
+    LSH-banded candidates)."""
     (documents,) = _t(spark, sf_dir, "documents")
     pairs = ops.ngram_jaccard_pairs(documents, "doc_id", "text", block_col="lang", min_jaccard=0.2)
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def _jaccard_pairs_lsh_oracle(num_perm: int = 16, bands: int = 4) -> str:
+    rows_per_band = num_perm // bands
+    band_exprs = []
+    for b in range(bands):
+        lo, hi = b * rows_per_band + 1, (b + 1) * rows_per_band
+        band_exprs.append(
+            f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{lo}:{hi}], x -> CAST(x AS VARCHAR)), ','))}}"
+        )
+    bands_list = ", ".join(band_exprs)
+    return (
+        "WITH" + _minhash_base_cte(num_perm) + f""",
+    banded AS (
+        SELECT doc_id, u.b AS band_idx, u.h AS band_hash
+        FROM sig, UNNEST([{bands_list}]) AS t(u)
+    ),
+    pairs AS (
+        SELECT DISTINCT m.min_id AS id_a, a.doc_id AS id_b
+        FROM banded a
+        JOIN (SELECT band_idx, band_hash, MIN(doc_id) AS min_id
+              FROM banded GROUP BY band_idx, band_hash) m
+          ON a.band_idx = m.band_idx AND a.band_hash = m.band_hash
+         AND a.doc_id > m.min_id
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(len(list_intersect(sa.__shingles, sb.__shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.__shingles, sb.__shingles))), 6) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    """
+    )
+
+
+@query("jaccard_pairs_lsh", oracle=_jaccard_pairs_lsh_oracle())
+def jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB jaccard-pairs shape: candidates from MinHash LSH banding
+    with bucket-min-representative pairing (LINEAR in corpus size, vs the
+    quadratic-within-block `ngram_jaccard_pairs`), then exact n-gram
+    Jaccard per candidate pair in the Arrow kernel. The pair side stays
+    bounded so AQE broadcasts it; the corpus streams."""
+    from instructionspipe_spark.functions.text import shingle_normalize
+    from instructionspipe_spark.operators.dedup import _jaccard_kernel, minhash_lsh_candidates
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(documents, "doc_id", "text", num_perm=16, bands=4)
+    nrm_a = documents.select(F.col("doc_id").alias("id_a"), shingle_normalize(F.col("text")).alias("__na"))
+    nrm_b = documents.select(F.col("doc_id").alias("id_b"), shingle_normalize(F.col("text")).alias("__nb"))
+    return (
+        pairs.join(nrm_a, "id_a")
+        .join(nrm_b, "id_b")
+        .select("id_a", "id_b", F.round(_jaccard_kernel(3)(F.col("__na"), F.col("__nb")), 6).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
