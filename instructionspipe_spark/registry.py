@@ -1049,6 +1049,49 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "greedy_packing",
+    oracle=rf"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, lang, {_TOKEN_COUNT_SQL} AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS seq
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens, seq,
+               CAST(0 AS BIGINT) AS bin_id,
+               [CAST(greatest(512 - n_tokens, 0) AS BIGINT)] AS bins
+        FROM tok WHERE seq = 1
+        UNION ALL
+        SELECT t.doc_id, t.lang, t.n_tokens, t.seq,
+               CASE WHEN list_filter(range(1, len(p.bins)+1), i -> p.bins[i] >= t.n_tokens)[1] IS NULL
+                    THEN len(p.bins)
+                    ELSE list_filter(range(1, len(p.bins)+1), i -> p.bins[i] >= t.n_tokens)[1] - 1 END AS bin_id,
+               CASE WHEN list_filter(range(1, len(p.bins)+1), i -> p.bins[i] >= t.n_tokens)[1] IS NULL
+                    THEN list_append(p.bins, CAST(greatest(512 - t.n_tokens, 0) AS BIGINT))
+                    ELSE list_transform(range(1, len(p.bins)+1),
+                           i -> CASE WHEN i = list_filter(range(1, len(p.bins)+1), j -> p.bins[j] >= t.n_tokens)[1]
+                                     THEN p.bins[i] - t.n_tokens ELSE p.bins[i] END) END AS bins
+        FROM packed p
+        JOIN tok t ON t.lang = p.lang AND t.seq = p.seq + 1
+    )
+    SELECT doc_id, lang, n_tokens, bin_id FROM packed
+    """,
+)
+def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy first-fit packing — a genuinely SEQUENTIAL operator
+    (each document's bin depends on every earlier placement), run as
+    Arrow-batched applyInPandas per group and proven equal to a DuckDB
+    recursive-CTE unrolling of the same scan order. Gated on a
+    deterministic 1-in-7 document subset to keep the oracle's recursion
+    depth proportional to docs-per-group, not corpus size."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    subset = documents.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", ops.token_count(F.col("text")).alias("n_tokens")
+    )
+    return ops.pack_greedy_firstfit(subset, "doc_id", "n_tokens", "lang", capacity=512)
+
+
+@query(
     "doc_fingerprints",
     oracle=r"""
     WITH norm AS (
