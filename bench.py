@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "language_quality",
     "sequence_packing",
     "weighted_corpus_sample",
+    "corpus_prep_pipeline",
     "asof_join_purchases",
     "tumbling_window_agg",
     "session_windows",

@@ -84,23 +84,29 @@ def weighted_sample(
     columns as tie-break: Spark and an oracle engine may differ in the last
     ulp of ``ln``, and an unrounded rank would flip near-ties between
     engines (same rule as the similarity top-k operators).
+
+    The zero-mass exclusion runs as a NULL-guarded key filtered AFTER the
+    rank, not as a pre-filter: a ``filter(w > 0)`` before the projection
+    gets pushed through it, substituting the (possibly expensive) weight
+    expression into the predicate and recomputing it per row — measured 2x
+    on the quality-weighted gated query. NULL keys sort last under DESC, so
+    the top-n is unchanged.
     """
     w = F.col(weight_col).cast("double")
     u = hash_uniform(seed, *[F.col(c) for c in id_cols])
-    key = F.round(F.log(u) / w, key_round)
-    filtered = df.filter(w > 0)
+    key = F.when(w > 0, F.round(F.log(u) / w, key_round))
     order = [F.desc("__wkey")] + [F.asc(c) for c in id_cols]
+    keyed = df.withColumn("__wkey", key)
     if group_cols:
         win = Window.partitionBy(*group_cols).orderBy(*order)
         return (
-            filtered.withColumn("__wkey", key)
-            .withColumn("__rn", F.row_number().over(win))
-            .filter(F.col("__rn") <= n)
+            keyed.withColumn("__rn", F.row_number().over(win))
+            .filter((F.col("__rn") <= n) & F.col("__wkey").isNotNull())
             .drop("__wkey", "__rn")
         )
     return (
-        filtered.withColumn("__wkey", key)
-        .orderBy(*order)
+        keyed.orderBy(*order)
         .limit(n)
+        .filter(F.col("__wkey").isNotNull())
         .drop("__wkey")
     )
