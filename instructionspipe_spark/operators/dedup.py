@@ -170,17 +170,27 @@ def _jaccard_kernel(ngram: int):
 
     @F.pandas_udf(DoubleType())
     def kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+        # Each document appears in several candidate pairs; memoize its
+        # shingle set per batch (keyed by the normalized text) so set
+        # construction is paid once per distinct doc, not once per pair.
+        memo: dict[str, frozenset] = {}
+
         def shingles(s):
             if s is None or len(s) < ngram:
-                return set()
-            return {s[j : j + ngram] for j in range(len(s) - ngram + 1)}
+                return frozenset()
+            v = memo.get(s)
+            if v is None:
+                v = frozenset(s[j : j + ngram] for j in range(len(s) - ngram + 1))
+                memo[s] = v
+            return v
 
         out = np.full(len(a), None, dtype=object)
         for i in range(len(a)):
             sa, sb = shingles(a.iat[i]), shingles(b.iat[i])
-            union = len(sa | sb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter  # inclusion-exclusion: no union set
             if union:
-                out[i] = len(sa & sb) / union
+                out[i] = inter / union
         return pd.Series(out)
 
     _KERNELS[key] = kernel
