@@ -279,3 +279,61 @@ def test_stateful_running_dedup_count_tws(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_streaming_corpus_prep_end_to_end(spark, tmp_path):
+    """Streaming composition of the corpus-prep stages: JSONL file stream ->
+    watermarked exact dedup -> quality/length gate -> token counting ->
+    foreachBatch greedy packing into a parquet sink. Two triggers prove
+    checkpointed exactly-once file handling across restarts; the packing
+    runs per micro-batch (bins are a batch-local layout decision, like a
+    dataloader shard)."""
+    from instructionspipe_spark.operators.packing import pack_greedy_firstfit
+    from instructionspipe_spark.operators.textstats import token_count
+    from instructionspipe_spark.streaming.jobs import read_jsonl_stream, streaming_dedup
+
+    src, ckpt, sink = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    good = "the quick brown fox jumps over the lazy dog again and again. "
+    _write_jsonl(
+        src,
+        "b1.jsonl",
+        [
+            {"id": 1, "text": good * 2, "ts": "2024-01-01T00:00:05.000Z"},
+            {"id": 1, "text": good * 2, "ts": "2024-01-01T00:00:06.000Z"},  # dup id
+            {"id": 2, "text": "zz", "ts": "2024-01-01T00:00:07.000Z"},  # fails length gate
+            {"id": 3, "text": good * 3, "ts": "2024-01-01T00:00:08.000Z"},
+        ],
+    )
+
+    def run_once():
+        stream = read_jsonl_stream(spark, src, SCHEMA, max_files_per_trigger=10)
+        deduped = streaming_dedup(stream, ["id"], "ts")
+        gated = deduped.filter(F.size(F.split(F.col("text"), r"\s+")) >= 5).withColumn(
+            "n_tokens", token_count(F.col("text"))
+        )
+
+        def pack_batch(batch_df, batch_id):
+            packed = pack_greedy_firstfit(
+                batch_df.withColumn("grp", F.lit("all")), "id", "n_tokens", "grp", 64
+            )
+            packed.drop("grp").write.mode("append").parquet(sink)
+
+        q = (
+            gated.writeStream.foreachBatch(pack_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    out = spark.read.parquet(sink).collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == [1, 3]  # dup collapsed, short doc gated out
+    assert all(r["bin_id"] is not None for r in out)
+
+    # second batch: new file only; checkpoint must not reprocess b1
+    _write_jsonl(src, "b2.jsonl", [{"id": 4, "text": good * 2, "ts": "2024-01-01T00:10:00.000Z"}])
+    run_once()
+    out2 = spark.read.parquet(sink).collect()
+    assert sorted(r["id"] for r in out2) == [1, 3, 4]
