@@ -32,6 +32,14 @@ Two execution engines per fingerprint, identical results (asserted in tests):
   it for xxhash64 measured within noise (+-3%), so the cheap-hash swap the
   profile suggested was attacking the wrong term; both engines keep md5 and
   full DuckDB oracle parity.
+
+Document-length complexity: the expression shingler is O(len^2) per
+document — Spark's ``substr(i, n)`` locates code point i by walking the
+UTF8String from the start, so per-shingle cost grows with position (a
+50k-char document takes minutes). The Arrow kernel slices a Python str
+(O(1) indexing): linear in document length. For corpora with long
+documents the kernel is not merely faster, it is the only shape that
+scales.
 """
 
 from __future__ import annotations

@@ -431,3 +431,28 @@ def test_weighted_sample_properties(spark):
     # ungrouped path: TakeOrdered top-n
     top = weighted_sample(df, "w", 3, seed=1, id_cols=["id"]).count()
     assert top == 3
+
+
+def test_shingle_kernels_large_document(spark):
+    """A large document (~10k chars) must produce identical results in both
+    engines and not blow the Arrow batch. Kept modest because the EXPRESSION
+    engine is O(len^2) in document length — `substr(i, n)` walks the
+    UTF8String from the start to locate code point i, so per-shingle cost
+    grows with position (a 50k-char doc took minutes). The Arrow kernel
+    slices a Python str (O(1) indexing): linear — one more reason it is the
+    default for real corpora with long documents."""
+    import random
+
+    from instructionspipe_spark.operators.dedup import minhash_signature, simhash
+
+    rng = random.Random(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "kappa"]
+    big = " ".join(rng.choice(words) + str(rng.randint(0, 9999)) for _ in range(1500))
+    df = spark.createDataFrame([(1, big), (2, "small doc here")], ["doc_id", "text"])
+    for make in (
+        lambda eng: minhash_signature(F.col("text"), num_perm=8, engine=eng),
+        lambda eng: simhash(F.col("text"), bits=32, engine=eng),
+    ):
+        expr = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("expr").alias("v")).collect()}
+        arrow = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("arrow").alias("v")).collect()}
+        assert expr == arrow
