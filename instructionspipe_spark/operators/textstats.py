@@ -10,6 +10,8 @@ sees a byte.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints must resolve `pd`
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,12 +107,35 @@ def quality_score(text: Column) -> Column:
     return quality_score_from_tokens(text, _lower_tokens(text))
 
 
-def doc_fingerprint(text: Column, ngram: int = 8) -> Column:
+def _fingerprint_kernel(ngram: int):
+    """Arrow twin of the fingerprint min-hash: linear in document length
+    (the expression form's substr is O(position) per gram — O(len^2) per
+    doc, see operators.dedup module docs) and md5s each DISTINCT gram once."""
+    import hashlib
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def kernel(norm: pd.Series) -> pd.Series:
+        out = np.full(len(norm), None, dtype=object)
+        for i, s in enumerate(norm):
+            if s is None:
+                continue
+            grams = {s[j : j + ngram] for j in range(max(len(s) - ngram + 1, 1))}
+            out[i] = min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+        return pd.Series(out)
+
+    return kernel
+
+
+def doc_fingerprint(text: Column, ngram: int = 8, engine: str = "arrow") -> Column:
     """Document fingerprint: lexicographic-min md5 over character n-grams of
     the normalized text (a winnowing-style rolling-hash min). Identical and
     near-boilerplate documents collide; robust to leading/trailing noise
     shorter than the window. Falls back to md5(text) for short docs."""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    if engine == "arrow":
+        return _fingerprint_kernel(ngram)(norm)
     length = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(length - F.lit(ngram - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(ngram)))

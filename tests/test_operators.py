@@ -456,3 +456,23 @@ def test_shingle_kernels_large_document(spark):
         expr = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("expr").alias("v")).collect()}
         arrow = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("arrow").alias("v")).collect()}
         assert expr == arrow
+
+
+def test_doc_fingerprint_engines_identical(spark):
+    from instructionspipe_spark.operators.textstats import doc_fingerprint
+
+    rows = [
+        (1, "The quick brown fox JUMPS over   the lazy dog"),
+        (2, "short"),
+        (3, ""),
+        (4, None),
+        (5, "日本語のテキスト with mixed content"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for make in (
+        lambda eng: doc_fingerprint(F.col("text"), engine=eng),
+        lambda eng: doc_fingerprint(F.col("text"), ngram=4, engine=eng),
+    ):
+        expr = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("expr").alias("v")).collect()}
+        arrow = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("arrow").alias("v")).collect()}
+        assert expr == arrow
