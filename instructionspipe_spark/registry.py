@@ -449,6 +449,58 @@ def exact_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_multi_key",
+    oracle="""
+    WITH d1 AS (
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+        FROM d1
+    ) WHERE rn = 1
+    """,
+)
+def dedup_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: sequential dedup over several key sets (the reference folds dedup
+    over keys, etl_sampling_by_key.py:50-53) — one row per lang, then one
+    per source among the survivors; min-id survivor at each stage."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.multi_key_dedup(documents, [["lang"], ["source"]], ["doc_id"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "batch_assignment",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) - 1) // 8 AS BIGINT) AS batch_id,
+           CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id ASC) - 1) % 8 AS BIGINT) AS batch_pos
+    FROM documents
+    """,
+)
+def batch_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: deterministic batching — rows chunk into batches of 8 per
+    language in id order (the reference batches rows for LLM calls; this is
+    the distributed, order-free statement of the same contract). One window
+    shuffle on the group key."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("doc_id"))
+    rn = F.row_number().over(w) - 1
+    return documents.select(
+        "doc_id",
+        "lang",
+        (rn / 8).cast("long").alias("batch_id"),
+        (rn % 8).cast("long").alias("batch_pos"),
+    )
+
+
+@query(
     "capped_group_sample",
     oracle="""
     SELECT doc_id, lang FROM (
