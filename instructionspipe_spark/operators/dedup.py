@@ -339,7 +339,9 @@ def minhash_lsh_candidates(
     return _sig_band_pairs(with_sig, bands, num_perm // bands)
 
 
-def _sig_band_pairs(with_sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+def _sig_band_pairs(
+    with_sig: DataFrame, bands: int, rows_per_band: int, distinct: bool = True
+) -> DataFrame:
     """Bucket-representative candidate pairs from an (__id, __sig) frame.
 
     Stage order matters: the (expensive) signature is already a column;
@@ -347,6 +349,12 @@ def _sig_band_pairs(with_sig: DataFrame, bands: int, rows_per_band: int) -> Data
     row. Exploding a precomputed band-hash array instead puts the whole
     nested-lambda expression under Generate, which evaluates interpreted
     (no codegen) — measured ~5x slower.
+
+    ``distinct=False`` skips the pair dedup exchange: callers whose
+    downstream already collapses duplicates (the dedup operators distinct
+    the LOSER ids) save a shuffle; a pair then appears once per shared band
+    (~1.3x rows), which the memoized verification absorbs for less than the
+    exchange cost.
     """
     exploded = with_sig.select(
         "__id", "__sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band_idx")
@@ -370,12 +378,12 @@ def _sig_band_pairs(with_sig: DataFrame, bands: int, rows_per_band: int) -> Data
     )
     banded = banded.filter(F.col("__band_hash").isNotNull())  # NULL-signature rows never pair
     w = Window.partitionBy("__band_idx", "__band_hash")
-    return (
+    pairs = (
         banded.withColumn("__min_id", F.min("__id").over(w))
         .filter(F.col("__id") > F.col("__min_id"))
         .select(F.col("__min_id").alias("id_a"), F.col("__id").alias("id_b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
@@ -412,7 +420,9 @@ def minhash_lsh_dedup(
     df = ensure_parallelism(df)
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram, engine=engine)
     with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
-    pairs = _sig_band_pairs(with_sig, bands, num_perm // bands)
+    # distinct=False: the loser-id set is distinct'd below, so deduping the
+    # pair frame here would only add an exchange.
+    pairs = _sig_band_pairs(with_sig, bands, num_perm // bands, distinct=False)
     if threshold is not None:
         if engine == "arrow":
             nrm_a = df.select(F.col(id_col).alias("id_a"), shingle_normalize(F.col(text_col)).alias("__na"))
