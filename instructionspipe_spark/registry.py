@@ -721,6 +721,39 @@ def _simhash_oracle(bits: int = 32) -> str:
     )
 
 
+def _simhash_exact_dedup_oracle(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(__hashes, h -> ((h >> {b}) % 2) * 2 - 1)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        "WITH" + _minhash_base_cte(1) + f""",
+    fp AS (
+        SELECT doc_id, CASE WHEN len(__shingles) = 0 THEN NULL ELSE {terms} END AS fp
+        FROM hashed
+    ),
+    kept AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+            FROM fp WHERE fp IS NOT NULL
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT doc_id FROM fp WHERE fp IS NULL
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    """
+    )
+
+
+@query("simhash_exact_dedup", oracle=_simhash_exact_dedup_oracle())
+def simhash_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fingerprint SimHash dedup: identical 32-bit fingerprints
+    collapse to the min-id survivor; NULL-fingerprint (sub-ngram) rows pass
+    through untouched."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.simhash_dedup(documents, "doc_id", "text", bits=32).select("doc_id", "lang")
+
+
 @query("simhash_fingerprints", oracle=_simhash_oracle())
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprint per document."""
