@@ -71,3 +71,29 @@ def test_pack_greedy_capacity_invariant(spark):
             baseline = sorted((r["doc_id"], r["bin_id"]) for r in packed.collect())
         else:
             assert sorted((r["doc_id"], r["bin_id"]) for r in packed.collect()) == baseline
+
+
+def test_pack_token_stream_invariants(spark):
+    """Property: offsets stay inside the window, bins are monotone in id
+    order per group, and the stream is gapless — each document starts
+    exactly where the previous one ended."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, f"g{i % 2}", rng.randint(0, 900)) for i in range(300)]
+    cap = 512
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = sorted(
+        pack_token_stream(df, "doc_id", "n_tokens", "grp", cap).collect(),
+        key=lambda r: (r["grp"], r["doc_id"]),
+    )
+    pos = {}
+    for r in out:
+        assert 0 <= r["start_offset"] < cap
+        expected = pos.get(r["grp"], 0)
+        assert r["start_bin"] * cap + r["start_offset"] == expected  # gapless
+        pos[r["grp"]] = expected + r["n_tokens"]
+        if r["n_tokens"] > 0:
+            assert r["end_bin"] * cap <= expected + r["n_tokens"] - 1 < (r["end_bin"] + 1) * cap
+        else:
+            assert r["end_bin"] == r["start_bin"] - 1
