@@ -10,6 +10,8 @@ sees a byte.
 
 from __future__ import annotations
 
+from typing import Iterator  # module-level: stringified UDF hints resolve here
+
 import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints must resolve `pd`
 from pyspark.sql import Column, DataFrame
@@ -163,9 +165,8 @@ def token_count_hf(text_col: str, model_name: str = "gpt2"):
     Arrow-batched pandas UDF (the reference counts with an HF tokenizer,
     ``apps/cost_estimator_inf.py:53-63``). Gated: raises ImportError where
     ``transformers`` is absent (this environment) — :func:`token_count` is
-    the always-available estimator. The tokenizer loads once per executor
-    (function-local lazy init), not once per row."""
-    import pandas as pd
+    the always-available estimator. Iterator-form UDF: the tokenizer loads
+    once per TASK (before the batch loop), not once per Arrow batch."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -178,10 +179,11 @@ def token_count_hf(text_col: str, model_name: str = "gpt2"):
         ) from e
 
     @F.pandas_udf(T.LongType())
-    def _count(texts: pd.Series) -> pd.Series:
+    def _count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         from transformers import AutoTokenizer
 
         tok = AutoTokenizer.from_pretrained(model_name)
-        return texts.map(lambda t: len(tok.encode(t)) if t is not None else 0)
+        for texts in batches:
+            yield texts.map(lambda t: len(tok.encode(t)) if t is not None else 0)
 
     return _count(F.col(text_col))

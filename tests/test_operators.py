@@ -476,3 +476,23 @@ def test_doc_fingerprint_engines_identical(spark):
         expr = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("expr").alias("v")).collect()}
         arrow = {r["doc_id"]: r["v"] for r in df.select("doc_id", make("arrow").alias("v")).collect()}
         assert expr == arrow
+
+
+def test_token_count_hf_gated(spark):
+    """token_count_hf raises a clear ImportError without `transformers`,
+    and counts real tokens when the library is present."""
+    from instructionspipe_spark.operators.textstats import token_count_hf
+
+    try:
+        import transformers  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with pytest.raises(ImportError, match="transformers"):
+            token_count_hf("text")
+    else:  # pragma: no cover - env without transformers skips this branch
+        df = spark.createDataFrame([(1, "hello world")], ["id", "text"])
+        n = df.select(token_count_hf("text").alias("n")).first()["n"]
+        assert n >= 2
