@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "simhash_near_dedup",
     "jaccard_pairs_lsh",
     "similarity_lsh_topk",
+    "similarity_lsh_multiprobe",
     "embedding_near_dup",
     "similarity_brute_topk",
     "token_quality_stats",

@@ -130,6 +130,52 @@ def lsh_bucketed_topk(
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_bits: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    rank_round: int | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query probes its own bucket PLUS the
+    ``n_bits`` buckets at Hamming distance 1 (one hyperplane sign flipped) —
+    the standard recall booster for vectors near a hyperplane, at (n_bits+1)x
+    the candidate cost instead of 2^n_bits more tables. The probe explode
+    happens on the (small, broadcast) query side; the corpus still streams
+    through one equi-join. A corpus vector matches a query through exactly
+    one probe (its single bucket), so no candidate dedup is needed."""
+    from instructionspipe_spark.functions.vectors import dot_product, l2_normalize
+    from instructionspipe_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    c = corpus.select(
+        F.col(corpus_id),
+        l2_normalize(F.col(corpus_vec)).alias("__cnv"),
+        hyperplane_sign_bits(F.col(corpus_vec), n_bits).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        l2_normalize(F.col(query_vec)).alias("__qnv"),
+        hyperplane_sign_bits(F.col(query_vec), n_bits).alias("__b0"),
+    )
+    probes = F.array(
+        F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
+    )
+    qp = q.select(F.col(query_id), F.col("__qnv"), F.explode(probes).alias("__bucket"))
+    joined = c.join(F.broadcast(qp), "__bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
+    )
+    rank_key = F.round(F.col("cosine"), rank_round) if rank_round is not None else F.col("cosine")
+    w = Window.partitionBy(query_id).orderBy(F.desc(rank_key), F.asc(corpus_id))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk_deterministic(
     corpus: DataFrame,
     queries: DataFrame,

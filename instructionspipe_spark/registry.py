@@ -2012,6 +2012,63 @@ def _lsh_topk_oracle(n_bits: int = 4, k: int = 5) -> str:
     """
 
 
+def _lsh_multiprobe_oracle(n_bits: int = 4, k: int = 5) -> str:
+    """Multi-probe twin of _lsh_topk_oracle: the query side probes its own
+    bucket plus each one-bit-flipped neighbor."""
+    def proj(j: int) -> str:
+        return (
+            "list_sum(list_transform(range(0, len(__v)), i -> "
+            f"__v[i + 1] * (CAST(('0x' || substr(md5('{j}' || ':' || CAST(i AS VARCHAR)), 1, 4))::BIGINT AS DOUBLE)"
+            " / 65536.0 - 0.5)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(j)} >= 0 THEN {2 ** (n_bits - 1 - j)} ELSE 0 END)" for j in range(n_bits)
+    )
+    probe_list = ", ".join(["__bucket"] + [f"xor(__bucket, {1 << b})" for b in range(n_bits)])
+    return f"""
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS __v FROM embeddings),
+    v AS (
+        SELECT vec_id,
+               list_transform(__v, x -> x / sqrt(list_sum(list_transform(__v, y -> y * y)))) AS __nv,
+               ({bucket}) AS __bucket
+        FROM raw
+    ),
+    q AS (
+        SELECT vec_id AS query_id, __nv, p.pb AS __bucket
+        FROM v, UNNEST([{probe_list}]) AS p(pb)
+        WHERE vec_id < 3
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id,
+               ROUND(CAST(list_sum(list_transform(range(1, len(q.__nv) + 1),
+                                                  i -> q.__nv[i] * a.__nv[i])) AS DOUBLE), 4) AS cosine
+        FROM v a JOIN q ON a.__bucket = q.__bucket
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("similarity_lsh_multiprobe", oracle=_lsh_multiprobe_oracle())
+def similarity_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: probes the query's bucket plus each one-bit
+    neighbor — higher recall than single-probe at (n_bits+1)x candidate
+    cost, still one streaming equi-join."""
+    from instructionspipe_spark.operators.similarity import lsh_multiprobe_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_multiprobe_topk(embeddings, queries_df, k=5, n_bits=4, rank_round=4)
+    return out.select("query_id", "vec_id", F.round(F.col("cosine"), 4).alias("cosine"), "rank")
+
+
 @query("similarity_lsh_topk", oracle=_lsh_topk_oracle())
 def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: sign-LSH bucketing (stateless md5 hyperplanes) turns

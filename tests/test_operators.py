@@ -496,3 +496,22 @@ def test_token_count_hf_gated(spark):
         df = spark.createDataFrame([(1, "hello world")], ["id", "text"])
         n = df.select(token_count_hf("text").alias("n")).first()["n"]
         assert n >= 2
+
+
+def test_lsh_multiprobe_superset_of_single(spark, tables):
+    """Multi-probe candidates strictly contain the single-probe bucket's, so
+    per-query top-k cosine mass can only improve; the identical-vector
+    self-hit stays rank 1."""
+    from instructionspipe_spark.operators.similarity import lsh_bucketed_topk, lsh_multiprobe_topk
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    single = lsh_bucketed_topk(emb, queries, k=5, n_bits=4).collect()
+    multi = lsh_multiprobe_topk(emb, queries, k=5, n_bits=4).collect()
+    best_s = {r["query_id"]: r["cosine"] for r in single if r["rank"] == 1}
+    best_m = {(r["query_id"]): r["cosine"] for r in multi if r["rank"] == 1}
+    for qid, c in best_s.items():
+        assert best_m[qid] >= c - 1e-9
+    assert all(abs(best_m[q] - 1.0) < 1e-6 for q in best_m)  # self-hit rank 1
