@@ -431,6 +431,33 @@ def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "distribution_fractions",
+    oracle="""
+    WITH c AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source)
+    SELECT lang, source, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (), 6) AS frac
+    FROM c
+    """,
+)
+def distribution_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 proper: per-group share of the corpus — the distribution a split/
+    sampling stage is checked against. The global-total window runs over the
+    (tiny) counts table, not the input, so the single-reducer window is
+    bounded by group cardinality at any scale."""
+    from instructionspipe_spark.operators.grouping import group_counts as gc
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    counts = gc(documents, ["lang", "source"])
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.select(
+        "lang",
+        "source",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / total, 6).alias("frac"),
+    )
+
+
+@query(
     "exact_dedup_first",
     oracle="""
     SELECT doc_id, lang, source FROM (
