@@ -2,12 +2,19 @@
 oracle, compare row count, schema (sorted column names) and order-insensitive
 values — a local replica of the driver's correctness gate.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, per-query results are appended to OUT.json keyed by the sf_dir
+basename, in the driver's CORRECTNESS shape (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err) so un-sampled registry queries
+keep a standing, reviewable correctness record across rounds.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -57,8 +64,13 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # VANILLA session on purpose: the driver's gate runs a bare
     # SparkSession, so every query must be self-sufficient (no reliance on
@@ -81,27 +93,47 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+            "sec": None,
+        }
+        results[name] = rec
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"spark: {str(e).splitlines()[0][:200]}"
             print(f"FAIL {name}: spark error: {str(e).splitlines()[0][:200]}")
             continue
+        rec["spark_rows"] = len(sdf)
+        rec["sec"] = round(time.time() - t0, 2)
         if name not in oracles:
+            rec["err"] = "no_oracle (rows-only check)"
+            rec["rows_match"] = len(sdf) >= 0
             print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"duckdb: {str(e).splitlines()[0][:200]}"
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
             continue
+        rec["oracle_rows"] = len(ddf)
         scols, srows = frame_fingerprint(sdf)
         dcols, drows = frame_fingerprint(ddf)
+        rec["rows_match"] = len(srows) == len(drows)
+        rec["schema_match"] = scols == dcols
         if scols != dcols:
             failures.append(name)
             print(f"FAIL {name}: columns {scols} vs {dcols}")
@@ -119,8 +151,26 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: first diff at sorted-row {bad[0]}:\n  spark {bad[1]}\n  duck  {bad[2]}")
         else:
+            rec["hash_match"] = True
             print(f"OK   {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
-    print(f"\n{len(queries) - len(failures)}/{len([q for q in queries if not only or q in only])} passed")
+    from instructionspipe_spark.registry import release_persisted
+
+    release_persisted()
+    n_run = len([q for q in queries if not only or q in only])
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
+    if json_out:
+        merged = {}
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                merged = json.load(f)
+        merged[os.path.basename(os.path.normpath(sf_dir))] = {
+            "passed": n_run - len(failures),
+            "total": n_run,
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
