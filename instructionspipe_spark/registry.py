@@ -31,13 +31,46 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Frames persisted by query builders. A query fn returns its DataFrame
+# *before* any action runs, so it cannot unpersist its own intermediates;
+# instead it registers them here and the next query invocation (or an
+# explicit release_persisted() from a harness) frees them. Without this the
+# cached stage of e.g. corpus_prep_pipeline leaks executor memory across
+# every subsequent query in a long-lived session.
+_PERSISTED: list[DataFrame] = []
+
+
+def managed_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and track it for deferred release."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every frame registered by managed_persist (non-blocking)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
 
 def query(name: str, oracle: str | None = None):
+    import functools
+
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Any prior query's action has completed by the time the next
+            # query is built, so its tracked caches are safe to drop.
+            release_persisted()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -1126,9 +1159,8 @@ _TOKEN_COUNT_SQL = r"""CAST(list_sum(list_transform(list_filter(string_split_reg
                 + len(list_filter(string_split_regex(text, '[0-9A-Za-z_\s]+'), s -> s <> '')) AS BIGINT)"""
 
 
-@query(
-    "sequence_packing",
-    oracle=rf"""
+def _sequence_packing_oracle(capacity: int = 512) -> str:
+    return rf"""
     WITH tok AS (
         SELECT doc_id, lang, {_TOKEN_COUNT_SQL} AS n_tokens FROM documents
     ),
@@ -1140,13 +1172,15 @@ _TOKEN_COUNT_SQL = r"""CAST(list_sum(list_transform(list_filter(string_split_reg
         FROM tok
     )
     SELECT doc_id, lang, n_tokens,
-           cb // 512 AS start_bin,
-           cb % 512 AS start_offset,
-           CASE WHEN n_tokens > 0 THEN (cb + n_tokens - 1) // 512
-                ELSE cb // 512 - 1 END AS end_bin
+           cb // {capacity} AS start_bin,
+           cb % {capacity} AS start_offset,
+           CASE WHEN n_tokens > 0 THEN (cb + n_tokens - 1) // {capacity}
+                ELSE cb // {capacity} - 1 END AS end_bin
     FROM cum
-    """,
-)
+    """
+
+
+@query("sequence_packing", oracle=_sequence_packing_oracle())
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (training-pipeline north star): per
     language, documents in id order form a token stream sliced into 512-token
@@ -1160,18 +1194,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.pack_token_stream(with_tok, "doc_id", "n_tokens", "lang", capacity=512)
 
 
-@query(
-    "greedy_packing",
-    oracle=rf"""
+def _greedy_packing_oracle(capacity: int = 512, modulus: int = 7) -> str:
+    return rf"""
     WITH RECURSIVE tok AS (
         SELECT doc_id, lang, {_TOKEN_COUNT_SQL} AS n_tokens,
                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS seq
-        FROM documents WHERE doc_id % 7 = 0
+        FROM documents WHERE doc_id % {modulus} = 0
     ),
     packed AS (
         SELECT doc_id, lang, n_tokens, seq,
                CAST(0 AS BIGINT) AS bin_id,
-               [CAST(greatest(512 - n_tokens, 0) AS BIGINT)] AS bins
+               [CAST(greatest({capacity} - n_tokens, 0) AS BIGINT)] AS bins
         FROM tok WHERE seq = 1
         UNION ALL
         SELECT t.doc_id, t.lang, t.n_tokens, t.seq,
@@ -1179,7 +1212,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN len(p.bins)
                     ELSE list_filter(range(1, len(p.bins)+1), i -> p.bins[i] >= t.n_tokens)[1] - 1 END AS bin_id,
                CASE WHEN list_filter(range(1, len(p.bins)+1), i -> p.bins[i] >= t.n_tokens)[1] IS NULL
-                    THEN list_append(p.bins, CAST(greatest(512 - t.n_tokens, 0) AS BIGINT))
+                    THEN list_append(p.bins, CAST(greatest({capacity} - t.n_tokens, 0) AS BIGINT))
                     ELSE list_transform(range(1, len(p.bins)+1),
                            i -> CASE WHEN i = list_filter(range(1, len(p.bins)+1), j -> p.bins[j] >= t.n_tokens)[1]
                                      THEN p.bins[i] - t.n_tokens ELSE p.bins[i] END) END AS bins
@@ -1187,8 +1220,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN tok t ON t.lang = p.lang AND t.seq = p.seq + 1
     )
     SELECT doc_id, lang, n_tokens, bin_id FROM packed
-    """,
-)
+    """
+
+
+@query("greedy_packing", oracle=_greedy_packing_oracle())
 def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split greedy first-fit packing — a genuinely SEQUENTIAL operator
     (each document's bin depends on every earlier placement), run as
@@ -1287,8 +1322,9 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two verification joins, final anti-join); persist the exact-deduped
     # frame so the quality-scoring + window chain evaluates once — the
     # in-memory analog of materializing between pipeline stages at scale
-    # (measured 4.2s -> 2.1s at sf0.1).
-    e = e.persist()
+    # (measured 4.2s -> 2.1s at sf0.1). Tracked so the harness releases it
+    # after the action instead of leaking it for the session's lifetime.
+    e = managed_persist(e)
     m = ops.minhash_lsh_dedup(e, "doc_id", "text", num_perm=16, bands=4, threshold=0.5)
     return m.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
