@@ -48,6 +48,92 @@ def test_simhash_near_dedup_param_space(spark, documents, duck, bits, bands, rad
     assert_df_equal(got, duck.query(_simhash_near_dedup_oracle(bits, bands, radius)))
 
 
+# -- sequence packing: capacity sweep vs the window-sum oracle ---------------
+# Degenerate (capacity 1), tiny, around-typical, and larger-than-corpus
+# capacities — 20 points locking the start/end-bin arithmetic including
+# zero-token documents and exact-boundary fills.
+@pytest.mark.parametrize(
+    "capacity",
+    [1, 2, 3, 5, 8, 16, 32, 64, 100, 128, 200, 256, 384, 512, 777, 1000, 2048, 4096, 10000, 100000],
+)
+def test_pack_token_stream_param_space(spark, documents, duck, capacity):
+    from instructionspipe_spark.operators.packing import pack_token_stream
+    from instructionspipe_spark.operators.textstats import token_count
+    from instructionspipe_spark.registry import _sequence_packing_oracle
+
+    with_tok = documents.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    got = pack_token_stream(with_tok, "doc_id", "n_tokens", "lang", capacity=capacity)
+    assert_df_equal(got, duck.query(_sequence_packing_oracle(capacity)))
+
+
+# -- greedy first-fit packing: (capacity, subset) grid vs recursive CTE ------
+# modulus controls docs-per-group (the sequential recursion depth); capacity
+# spans always-overflow (64) to everything-fits (1024). 20 points.
+@pytest.mark.parametrize("capacity", [64, 128, 256, 512, 1024])
+@pytest.mark.parametrize("modulus", [3, 5, 7, 11])
+def test_pack_greedy_param_space(spark, documents, duck, capacity, modulus):
+    from instructionspipe_spark.operators.packing import pack_greedy_firstfit
+    from instructionspipe_spark.operators.textstats import token_count
+    from instructionspipe_spark.registry import _greedy_packing_oracle
+
+    subset = documents.filter(F.col("doc_id") % modulus == 0).select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    got = pack_greedy_firstfit(subset, "doc_id", "n_tokens", "lang", capacity=capacity)
+    assert_df_equal(got, duck.query(_greedy_packing_oracle(capacity, modulus)))
+
+
+# -- multi-probe LSH: n_bits x k sweep vs the brute-force recall floor ------
+# Invariants per point: (1) a query drawn from the corpus always finds
+# itself at rank 1 (its own bucket is always probed), (2) multi-probe
+# candidates are a superset of single-bucket candidates, so its recall
+# against the exact brute-force top-k never drops below the single-probe
+# recall. 20 points.
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from instructionspipe_spark import load_tables
+
+    return load_tables(spark, SF_DIR)["embeddings"]
+
+
+@pytest.mark.parametrize("k", [5, 10])
+@pytest.mark.parametrize("n_bits", [1, 2, 3, 4, 5, 6, 7, 8, 10, 12])
+def test_multiprobe_recall_param_space(spark, embeddings, n_bits, k):
+    from instructionspipe_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+    )
+
+    q = embeddings.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def topk_sets(df):
+        rows = df.select("query_id", "vec_id").collect()
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = topk_sets(brute_force_topk(embeddings, q, k))
+    single = topk_sets(lsh_bucketed_topk(embeddings, q, k, n_bits=n_bits))
+    multi = topk_sets(lsh_multiprobe_topk(embeddings, q, k, n_bits=n_bits))
+
+    for qid, truth in exact.items():
+        # (1) self-match: the query vector itself is always rank-1 reachable
+        assert qid in multi.get(qid, set()), f"query {qid} lost its own vector"
+        # (2) recall floor: multi-probe >= single-probe against exact top-k
+        r_single = len(single.get(qid, set()) & truth) / len(truth)
+        r_multi = len(multi.get(qid, set()) & truth) / len(truth)
+        assert r_multi >= r_single - 1e-9, (
+            f"n_bits={n_bits} k={k} query {qid}: multiprobe recall {r_multi} "
+            f"< single-probe {r_single}"
+        )
+
+
 @pytest.mark.parametrize("n,seed", [(5, 11), (50, 0)])
 def test_weighted_sample_param_space(spark, documents, duck, n, seed):
     from instructionspipe_spark.operators.sampling import weighted_sample
