@@ -35,35 +35,51 @@ def have_hf_datasets() -> bool:
     return _hf_datasets is not None
 
 
-def _arrow_schema_of(path: str):
-    """Driver-side peek at ONE file's schema (footer/stream header only)."""
+# An IPC file's leading bytes are magic ("ARROW1\0\0") + the stream-format
+# schema message; HF `features` metadata lives in that message, so allow a
+# generous-but-bounded peek. Only this prefix of ONE file ever reaches the
+# driver.
+_SCHEMA_PEEK_BYTES = 4 * 1024 * 1024
+
+
+def _schema_from_header(header: bytes):
+    """Parse an Arrow schema from a file's leading bytes. Works for both the
+    stream format (first message IS the schema) and the random-access file
+    format (magic + padding, then the same stream layout)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    with pa.memory_map(path) as source:
-        try:
-            return ipc.open_file(source).schema
-        except pa.ArrowInvalid:
-            return ipc.open_stream(source).schema
+    if header[:6] == b"ARROW1":
+        header = header[8:]
+    return ipc.read_schema(pa.BufferReader(header))
 
 
 def read_arrow_ipc(spark: SparkSession, path: str, glob: str = "*.arrow") -> DataFrame:
     """Distributed Arrow-IPC scan: binaryFile file distribution + per-file
     pyarrow decode in ``mapInPandas``. Handles both the file format
     (random-access, what ``save_to_disk`` writes) and the stream format.
+
+    Object-store safe: file listing AND the schema peek come from the
+    ``binaryFile`` scan itself (Hadoop FS), never ``os.listdir`` — an
+    ``s3a://`` path works exactly like a local one. The peek ships only the
+    first ``_SCHEMA_PEEK_BYTES`` of the lexicographically-first file to the
+    driver.
     """
     import pyarrow as pa
 
+    from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if _glob_match(f, glob)
-    ) if os.path.isdir(path) else [path]
-    if not files:
-        raise FileNotFoundError(f"no files matching {glob} under {path}")
-    schema: T.StructType = from_arrow_schema(_arrow_schema_of(files[0]))
-
     binaries = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    head = (
+        binaries.select("path", F.substring("content", 1, _SCHEMA_PEEK_BYTES).alias("header"))
+        .orderBy("path")
+        .limit(1)
+        .collect()
+    )
+    if not head:
+        raise FileNotFoundError(f"no files matching {glob} under {path}")
+    schema: T.StructType = from_arrow_schema(_schema_from_header(bytes(head[0]["header"])))
 
     def decode(batches: Iterator) -> Iterator:
         import pyarrow.ipc as ipc
@@ -87,16 +103,39 @@ def _glob_match(name: str, glob: str) -> bool:
     return fnmatch.fnmatch(name, glob)
 
 
+def _hadoop_ls(spark: SparkSession, path: str) -> list[str] | None:
+    """List a directory through the Hadoop FS API so `s3a://`-style paths
+    behave like local ones. Returns None when `path` is not a listable
+    directory (missing, a file, or no JVM gateway e.g. Spark Connect —
+    callers then fall back to POSIX)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not (fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory()):
+            return None
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+    except Exception:
+        return None
+
+
 def read_hf_dataset(spark: SparkSession, name_or_path: str, split: str | None = None) -> DataFrame:
-    """S4 entry point. A local directory is read directly (parquet shards
-    preferred, Arrow IPC otherwise; ``save_to_disk`` split layouts resolve
-    via ``split``). A hub name needs the optional ``datasets`` library,
-    which downloads/caches and then hands back local Arrow files."""
-    if os.path.isdir(name_or_path):
-        root = os.path.join(name_or_path, split) if split and os.path.isdir(
-            os.path.join(name_or_path, split)
-        ) else name_or_path
-        entries = os.listdir(root)
+    """S4 entry point. A directory (local or object-store) is read directly
+    (parquet shards preferred, Arrow IPC otherwise; ``save_to_disk`` split
+    layouts resolve via ``split``). A hub name needs the optional
+    ``datasets`` library, which downloads/caches and then hands back local
+    Arrow files."""
+    entries = _hadoop_ls(spark, name_or_path)
+    if entries is None and os.path.isdir(name_or_path):
+        entries = os.listdir(name_or_path)
+    if entries is not None:
+        root = name_or_path
+        if split and split in entries:
+            sub = _hadoop_ls(spark, os.path.join(root, split))
+            if sub is None and os.path.isdir(os.path.join(root, split)):
+                sub = os.listdir(os.path.join(root, split))
+            if sub is not None:
+                root, entries = os.path.join(root, split), sub
         if any(e.endswith(".parquet") for e in entries):
             return spark.read.parquet(os.path.join(root, "*.parquet"))
         return read_arrow_ipc(spark, root)

@@ -233,6 +233,31 @@ def test_read_hf_dataset_local_layouts(spark, tmp_path):
     assert [(r["id"], r["text"]) for r in out.collect()] == [(5, "t")]
 
 
+def test_arrow_ipc_no_posix_listing(spark, tmp_path, monkeypatch):
+    """Object-store contract: the Arrow-IPC reader and read_hf_dataset must
+    never touch driver-local POSIX listing (os.listdir / os.path.isdir) for
+    an FS-resolvable directory — the file list and schema peek both come
+    from the binaryFile scan / Hadoop FS, as they would for s3a:// paths."""
+    from instructionspipe_spark.sources import hf
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    _write_arrow_shard(str(d / "data-00000.arrow"), [(1, "a"), (2, "b")])
+    _write_arrow_shard(str(d / "data-00001.arrow"), [(3, "c")])
+
+    def _no_posix(*a, **k):
+        raise AssertionError("POSIX filesystem call on an object-store path")
+
+    monkeypatch.setattr(hf.os, "listdir", _no_posix)
+    monkeypatch.setattr(hf.os.path, "isdir", _no_posix)
+
+    out = hf.read_arrow_ipc(spark, str(d))
+    assert sorted((r["id"], r["text"]) for r in out.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+    out2 = hf.read_hf_dataset(spark, str(d))
+    assert sorted(r["id"] for r in out2.collect()) == [1, 2, 3]
+
+
 def test_read_hf_dataset_hub_name_requires_lib():
     import pytest
 
