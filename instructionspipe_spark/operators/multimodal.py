@@ -75,6 +75,14 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _codec_name(fn, known: dict) -> str:
+    """Stable name for the codec that actually ran, stamped into the output
+    so downstream consumers can never silently train on hash-derived
+    pseudo-features from a fallback decoder."""
+    name = getattr(fn, "__name__", None) or "custom"
+    return known.get(name, name)
+
+
 def media_struct(
     media_type: str, fmt: str, width=None, height=None, n_frames=None, sample_rate=None, duration_ms=None
 ) -> Column:
@@ -163,7 +171,11 @@ def extract_features(
     df: DataFrame, binary_col: str = "content", decode_fn=None
 ) -> DataFrame:
     """Decode + feature-extract each media binary via Arrow-batched
-    ``mapInPandas``. Output adds (content_hash, n_bytes, features[FEATURE_DIM]).
+    ``mapInPandas``. Output adds (content_hash, n_bytes, features[FEATURE_DIM])
+    plus a ``decoder`` column naming the codec that ran (``pil`` for the real
+    Pillow path, ``fake`` for the deterministic byte-statistics fallback, the
+    function name for a custom ``decode_fn``) — downstream filters/asserts on
+    this instead of discovering pseudo-features at training time.
 
     ``decode_fn`` defaults to :func:`pil_decode` when Pillow is installed
     and the deterministic :func:`fake_decode` otherwise; callers that need
@@ -193,7 +205,8 @@ def extract_features(
             pdf["features"] = [d["features"] for d in decoded]
             yield pdf
 
-    return df.mapInPandas(kernel, schema=out_schema)
+    decoder = _codec_name(decode_fn, {"pil_decode": "pil", "fake_decode": "fake"})
+    return df.mapInPandas(kernel, schema=out_schema).withColumn("decoder", F.lit(decoder))
 
 
 def resize_images(
@@ -315,7 +328,9 @@ def pdf_to_page_images(
     ``pdf_fn(data: bytes, dpi: int) -> list[bytes]`` is the pluggable
     renderer; the default is :func:`pdfium_render` when pypdfium2 is
     installed, else a stub that raises at runtime. Output: one row per page
-    with ``page_index`` and the page image bytes in ``binary_col``."""
+    with ``page_index``, the page image bytes in ``binary_col``, and a
+    ``decoder`` column naming the renderer that ran (``pdfium`` / the
+    function name for a custom ``pdf_fn``)."""
     from pyspark.sql import types as T
 
     from instructionspipe_spark.session import ensure_parallelism
@@ -352,4 +367,5 @@ def pdf_to_page_images(
                     rows.append({**base, "page_index": i, binary_col: page})
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
-    return df.mapInPandas(kernel, schema=out_schema)
+    decoder = _codec_name(pdf_fn, {"pdfium_render": "pdfium", "pdf_fn": "unavailable"})
+    return df.mapInPandas(kernel, schema=out_schema).withColumn("decoder", F.lit(decoder))

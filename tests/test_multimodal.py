@@ -39,6 +39,14 @@ def test_extract_features_deterministic(spark):
     assert len(out[1]["features"]) == mm.FEATURE_DIM
     assert all(0.0 <= f <= 1.0 for f in out[1]["features"])
     assert out[4]["content_hash"] is None and out[4]["features"] is None
+    # the codec that ran is stamped in the output: without Pillow the
+    # fallback must NAME itself so downstream can't silently train on
+    # hash-derived pseudo-features
+    expected_decoder = "pil" if mm.have_pil() else "fake"
+    assert all(r["decoder"] == expected_decoder for r in out.values())
+    # explicit decode_fn: the custom name is stamped
+    custom = mm.extract_features(df, decode_fn=mm.fake_decode).first()
+    assert custom["decoder"] == "fake"
 
 
 def test_resize_updates_meta_and_requires_codec(spark):
@@ -73,11 +81,13 @@ def test_pdf_to_page_images_plumbing(spark):
         return [data + b"-page0", data + b"-page1"]
 
     out = mm.pdf_to_page_images(df, pdf_fn=fake_pdf)
-    rows = [(r["pdf_id"], r["page_index"], bytes(r["content"])) for r in out.collect()]
+    collected = out.collect()
+    rows = [(r["pdf_id"], r["page_index"], bytes(r["content"])) for r in collected]
     assert sorted(rows) == [
         (1, 0, b"%PDF-fake-page0"),
         (1, 1, b"%PDF-fake-page1"),
     ]  # null-content pdf yields no pages
+    assert all(r["decoder"] == "fake_pdf" for r in collected)
 
 
 def test_pdf_requires_codec(spark):
