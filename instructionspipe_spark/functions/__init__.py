@@ -20,6 +20,8 @@ from instructionspipe_spark.functions.text import (  # noqa: F401
     cache_key,
     char_ngrams,
     fence_strip,
+    redact,
+    redaction_count,
     tag_extract,
     template_fill,
     whitespace_tokens,

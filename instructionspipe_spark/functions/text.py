@@ -106,6 +106,37 @@ def char_ngrams(col: Column | str, n: int = 3, strip_punct: bool = True) -> Colu
     ).otherwise(F.array().cast("array<string>"))
 
 
+#: Default redaction patterns: the PII-ish trio a corpus-prep pipeline
+#: scrubs before anything else sees the text. Each regex works identically
+#: in Java regex (Spark) and RE2 (the DuckDB oracle).
+REDACTION_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def redact(col: Column | str, patterns=REDACTION_PATTERNS) -> Column:
+    """Replace every match of each ``(regex, token)`` pair, applied in
+    order. Pure expression (chained ``regexp_replace``) — streams through
+    codegen, no shuffle, no Python."""
+    c = _c(col)
+    for pat, token in patterns:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def redaction_count(col: Column | str, patterns=REDACTION_PATTERNS) -> Column:
+    """Total number of matches the same ``patterns`` would redact — the
+    audit metric beside :func:`redact`. Counted on the ORIGINAL text, so
+    overlapping replacement tokens never double-count."""
+    c = _c(col)
+    total = F.lit(0).cast("bigint")
+    for pat, _ in patterns:
+        total = total + F.regexp_count(c, F.lit(pat)).cast("bigint")
+    return total
+
+
 def cache_key(col: Column | str) -> Column:
     """sha256 hex digest of a string column — the LLM response-cache key
     (reference hashes json.dumps(chatml); we hash the canonical prompt)."""

@@ -26,6 +26,8 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     simhash_near_dedup,
     ngram_jaccard_pairs,
     embedding_near_dup,
+    contamination_screen,
+    word_ngram_hash_ids,
 )
 from instructionspipe_spark.operators.sampling import (  # noqa: F401
     capped_group_sample,
@@ -49,6 +51,7 @@ from instructionspipe_spark.operators.textstats import (  # noqa: F401
     detect_language,
     doc_fingerprint,
     quality_score,
+    repetition_stats,
     text_stats,
     token_count,
 )

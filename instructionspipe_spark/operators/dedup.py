@@ -552,6 +552,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def word_ngram_hash_ids(
+    df: DataFrame, id_col: str, text_col: str, ngram_words: int = 5
+) -> DataFrame:
+    """Distinct word-``n``-gram 48-bit hashes per document: (id, __h) rows.
+
+    The contamination-screen primitive. Expression-only, and shaped for the
+    interpreted-Generate trap: the explode input is the cheap position
+    sequence; the n-gram string (concat over a token slice) and its hash
+    are computed AFTER the explode, inside codegen. Shuffle cost is one
+    distinct on (id, hash) — 8-byte keys, uniform."""
+    from instructionspipe_spark.functions.text import shingle_normalize
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = F.filter(F.split(shingle_normalize(F.col(text_col)), " "), lambda t: t != "")
+    cnt = F.size(F.col("__toks"))
+    # sequence(1, 0) is DESCENDING [1, 0], not empty — guard short docs.
+    seq = F.when(
+        cnt >= ngram_words, F.sequence(F.lit(1), cnt - F.lit(ngram_words - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.col("__toks"), F.explode(seq).alias("__i"))
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), ngram_words))
+    return exploded.select(F.col(id_col), base_hash48(gram).alias("__h")).distinct()
+
+
+def contamination_screen(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Train/eval contamination screen: for every (train doc, eval doc)
+    pair, count the distinct word-n-grams they share; report pairs at or
+    above ``min_shared`` — the standard pre-training hygiene check that a
+    benchmark's text leaked into the corpus.
+
+    Scale shape: the eval side is benchmarks (tiny vs a 100 TB corpus), so
+    its hash set broadcasts; the corpus streams through one equi-join on
+    the 8-byte n-gram hash, then one aggregate keyed by the (train, eval)
+    pair — bounded by true overlap, never corpus x eval."""
+    t = word_ngram_hash_ids(train, id_col, text_col, ngram_words).withColumnRenamed(
+        id_col, "train_id"
+    )
+    e = word_ngram_hash_ids(eval_df, id_col, text_col, ngram_words).withColumnRenamed(
+        id_col, "eval_id"
+    )
+    return (
+        t.join(F.broadcast(e), "__h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str,

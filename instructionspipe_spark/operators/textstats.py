@@ -109,6 +109,51 @@ def quality_score(text: Column) -> Column:
     return quality_score_from_tokens(text, _lower_tokens(text))
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = ("lang",),
+) -> DataFrame:
+    """Gopher-style repetition signals per document: word totals, distinct
+    words, top-word fraction and duplicate-word fraction — the cheap
+    repetition filters a corpus-prep pipeline applies before any model
+    scoring (reference's only text gate is a word-count filter,
+    ``etl_slimpajama_dc_proc.py:142``; these are its standard extensions).
+
+    Distributed word-count shape: explode words -> (doc, word) partial
+    count -> per-doc aggregate. Two shuffles keyed by (doc, word) then doc
+    — uniform keys, map-side combine on both, no per-row Python, so the
+    plan is the same one a 100 TB corpus would want. ``explode_outer``
+    keeps zero-word documents (empty/whitespace/NULL text) with zeroed
+    stats instead of dropping them."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = df.select(
+        id_col, *keep_cols, F.explode_outer(_lower_tokens(F.col(text_col))).alias("__w")
+    )
+    per_word = words.groupBy(id_col, *keep_cols, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    agg = per_word.groupBy(id_col, *keep_cols).agg(
+        F.sum(F.when(F.col("__w").isNotNull(), F.col("__c")).otherwise(0)).alias("n_words"),
+        F.count(F.when(F.col("__w").isNotNull(), 1)).alias("n_distinct_words"),
+        F.max(F.when(F.col("__w").isNotNull(), F.col("__c")).otherwise(0)).alias("__top"),
+    )
+    n_words = F.col("n_words").cast("double")
+    return agg.select(
+        id_col,
+        *keep_cols,
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_distinct_words").cast("bigint").alias("n_distinct_words"),
+        F.when(F.col("n_words") > 0, F.round(F.col("__top") / n_words, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_word_fraction"),
+        F.when(F.col("n_words") > 0, F.round(1.0 - F.col("n_distinct_words") / n_words, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_fraction"),
+    )
+
+
 def _fingerprint_kernel(ngram: int):
     """Arrow twin of the fingerprint min-hash: linear in document length
     (the expression form's substr is O(position) per gram — O(len^2) per

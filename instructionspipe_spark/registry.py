@@ -3089,3 +3089,107 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: repetition flags, PII-style redaction, contamination screen
+# ---------------------------------------------------------------------------
+
+_LOWER_TOKENS_SQL = r"""list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')), '\s+'), t -> t <> '')"""
+
+
+@query(
+    "repetition_stats",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_LOWER_TOKENS_SQL} AS __t FROM documents
+    ),
+    w AS (SELECT doc_id, lang, u.w AS word FROM toks, UNNEST(__t) AS u(w)),
+    pw AS (SELECT doc_id, lang, word, COUNT(*) AS c FROM w GROUP BY doc_id, lang, word),
+    agg AS (
+        SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words, MAX(c) AS top
+        FROM pw GROUP BY doc_id, lang
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_distinct_words, 0) AS n_distinct_words,
+           CASE WHEN COALESCE(a.n_words, 0) > 0
+                THEN ROUND(a.top / CAST(a.n_words AS DOUBLE), 6) ELSE 0.0 END AS top_word_fraction,
+           CASE WHEN COALESCE(a.n_words, 0) > 0
+                THEN ROUND(1.0 - a.n_distinct_words / CAST(a.n_words AS DOUBLE), 6) ELSE 0.0 END AS dup_word_fraction
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-word / duplicate-word fractions)
+    as a distributed word-count: explode words, two keyed aggregates, no
+    Python. The cheap pre-model repetition gate of a corpus-prep pipeline."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.repetition_stats(documents)
+
+
+_REDACT_QUERY_PATTERNS = (("[A-Za-z]{8,}", "<LONG>"), ("[0-9]+", "<NUM>"))
+
+
+def _text_redaction_oracle() -> str:
+    redacted = "text"
+    counts = []
+    for pat, token in _REDACT_QUERY_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+        counts.append(f"len(regexp_extract_all(text, '{pat}'))")
+    total = " + ".join(counts)
+    return f"""
+    SELECT doc_id, {redacted} AS redacted, CAST({total} AS BIGINT) AS n_redactions
+    FROM documents
+    """
+
+
+@query("text_redaction", oracle=_text_redaction_oracle())
+def text_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing as pure chained regexp_replace (streams in
+    codegen, no shuffle) with a per-document match count on the original
+    text as the audit metric. The gated patterns are chosen to actually
+    fire on the synthetic corpus (long words; digit runs exercise the
+    zero-match path); production presets live in
+    functions.text.REDACTION_PATTERNS (email/URL/number)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        fns.redact(F.col("text"), _REDACT_QUERY_PATTERNS).alias("redacted"),
+        fns.redaction_count(F.col("text"), _REDACT_QUERY_PATTERNS).alias("n_redactions"),
+    )
+
+
+def _contamination_oracle(ngram_words: int = 5, min_shared: int = 3, modulus: int = 17) -> str:
+    return rf"""
+    WITH norm AS (
+        SELECT doc_id, {_norm_sql('text')} AS __n FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, list_filter(string_split(__n, ' '), t -> t <> '') AS __t FROM norm
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               {_hash48_sql(f"array_to_string(__t[i:i+{ngram_words - 1}], ' ')")} AS __h
+        FROM tok, UNNEST(range(1, greatest(len(__t) - {ngram_words - 1}, 0) + 1)) AS r(i)
+    ),
+    ev AS (SELECT doc_id AS eval_id, __h FROM grams WHERE doc_id % {modulus} = 0),
+    tr AS (SELECT doc_id AS train_id, __h FROM grams WHERE doc_id % {modulus} <> 0)
+    SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (__h)
+    GROUP BY train_id, eval_id
+    HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@query("contamination_screen", oracle=_contamination_oracle())
+def contamination_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination screen: documents with doc_id % 17 == 0
+    stand in for a benchmark set; every (train, eval) pair sharing >= 3
+    distinct word-5-grams is reported. The eval hash set broadcasts; the
+    corpus streams through one equi-join on 8-byte n-gram hashes."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    ev = documents.filter(F.col("doc_id") % 17 == 0)
+    tr = documents.filter(F.col("doc_id") % 17 != 0)
+    return ops.contamination_screen(tr, ev, ngram_words=5, min_shared=3)

@@ -140,3 +140,26 @@ def test_cache_key_is_sha256(spark):
     import hashlib
 
     assert df.select(cache_key("p").alias("k")).first()["k"] == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_redact_and_count(spark):
+    """Patterns apply in order on the text; counts come from the ORIGINAL
+    text so replacement tokens never double-count."""
+    from instructionspipe_spark.functions.text import redact, redaction_count
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or visit https://a.io/x room 42"), (2, "clean"), (3, None)],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: (r["red"], r["n"])
+        for r in df.select(
+            "id",
+            redact(F.col("text")).alias("red"),
+            redaction_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert out[1][0] == "mail <EMAIL> or visit <URL> room <NUM>"
+    assert out[1][1] == 3
+    assert out[2] == ("clean", 0)
+    assert out[3] == (None, None)

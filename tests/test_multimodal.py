@@ -101,7 +101,12 @@ def test_pdf_requires_codec(spark):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.skipif(not mm.have_pil(), reason="Pillow not installed")
+@pytest.mark.skipif(
+    not mm.have_pil(),
+    reason="Pillow not installed (package installs are disallowed in this "
+    "environment, so the real-codec path cannot be exercised here; it runs "
+    "wherever Pillow is present)",
+)
 def test_pil_decode_and_resize_real(spark):
     """With Pillow present, extract_features defaults to pil_decode (pixel
     statistics) and resize_images defaults to pil_resize."""
@@ -126,7 +131,11 @@ def test_pil_decode_and_resize_real(spark):
     assert resized["meta"]["width"] == 8 and resized["meta"]["height"] == 8
 
 
-@pytest.mark.skipif(not mm.have_pdfium(), reason="pypdfium2 not installed")
+@pytest.mark.skipif(
+    not mm.have_pdfium(),
+    reason="pypdfium2 not installed (package installs are disallowed in this "
+    "environment; the real renderer runs wherever pypdfium2 is present)",
+)
 def test_pdfium_render_real(spark):
     """With pypdfium2 present, pdf_to_page_images renders real pages."""
     import pypdfium2 as pdfium

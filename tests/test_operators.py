@@ -515,3 +515,53 @@ def test_lsh_multiprobe_superset_of_single(spark, tables):
     for qid, c in best_s.items():
         assert best_m[qid] >= c - 1e-9
     assert all(abs(best_m[q] - 1.0) < 1e-6 for q in best_m)  # self-hit rank 1
+
+
+def test_repetition_stats_fractions(spark):
+    """Known word histograms -> exact top/dup fractions; empty, punct-only
+    and NULL texts survive with zeroed stats instead of vanishing."""
+    from instructionspipe_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the cat", "en"),  # 4 words, 2 distinct, top=3
+            (2, "a b c d", "en"),  # no repetition
+            (3, "", "en"),
+            (4, "...!!!", "en"),
+            (5, None, "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert len(out) == 5
+    assert out[1]["n_words"] == 4 and out[1]["n_distinct_words"] == 2
+    assert out[1]["top_word_fraction"] == 0.75
+    assert out[1]["dup_word_fraction"] == 0.5
+    assert out[2]["dup_word_fraction"] == 0.0 and out[2]["n_words"] == 4
+    assert out[2]["top_word_fraction"] == 0.25
+    for d in (3, 4, 5):
+        assert out[d]["n_words"] == 0 and out[d]["top_word_fraction"] == 0.0
+
+
+def test_contamination_screen_finds_planted_overlap(spark):
+    """A train doc that embeds an eval doc's sentence shares its word-5-grams;
+    an unrelated train doc reports nothing."""
+    from instructionspipe_spark.operators.dedup import contamination_screen, word_ngram_hash_ids
+
+    leak = "the standardized benchmark question about ancient roman aqueduct engineering"
+    train = spark.createDataFrame(
+        [
+            (10, f"some corpus document that quotes {leak} verbatim in the middle"),
+            (11, "a totally unrelated document about deep sea hydrothermal vents"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(90, leak)], ["doc_id", "text"])
+    out = contamination_screen(train, ev, min_shared=3).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in out] == [(10, 90)]
+    # the leaked sentence has len(tokens)-4 distinct 5-grams; all are shared
+    n_tokens = len(leak.split())
+    assert out[0]["n_shared"] == n_tokens - 4
+    # the primitive: short docs (< n words) produce zero grams, not a crash
+    short = spark.createDataFrame([(1, "too few words")], ["doc_id", "text"])
+    assert word_ngram_hash_ids(short, "doc_id", "text", ngram_words=5).count() == 0
