@@ -34,9 +34,11 @@ from instructionspipe_spark.operators.sampling import (  # noqa: F401
     hash_uniform,
     seeded_shuffle,
     seeded_head,
+    stratified_sample,
+    temperature_mixture_sample,
     weighted_sample,
 )
-from instructionspipe_spark.operators.splitting import grouped_split  # noqa: F401
+from instructionspipe_spark.operators.splitting import assign_shards, grouped_split  # noqa: F401
 from instructionspipe_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk_deterministic,

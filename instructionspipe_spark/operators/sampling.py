@@ -110,3 +110,67 @@ def weighted_sample(
         .filter(F.col("__wkey").isNotNull())
         .drop("__wkey")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int,
+    id_cols: list[str],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample at explicit ``fractions`` (the
+    distributed analogue of ``sampleBy``, made deterministic): a row of
+    stratum ``s`` survives iff ``hash_uniform(seed, ids) < fractions[s]``.
+    Strata absent from the map sample at ``default_fraction``.
+
+    Scale shape: a pure narrow filter — no shuffle, no per-stratum pass;
+    the expected per-stratum yield is exact in distribution and the
+    realized sample is identical under any partitioning and in any engine
+    with md5 (unlike ``DataFrame.sampleBy``, whose draw depends on
+    partition layout)."""
+    u = hash_uniform(seed, *[F.col(c) for c in id_cols])
+    rate = F.lit(float(default_fraction))
+    for s, f in fractions.items():
+        rate = F.when(F.col(strata_col) == s, F.lit(float(f))).otherwise(rate)
+    return df.filter(u < rate)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 11,
+    id_cols: list[str] | None = None,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based corpus mixture: sample each source at a rate
+    proportional to ``count(source) ** alpha`` (alpha < 1 upweights small
+    sources — the standard multilingual/multi-corpus rebalancing), scaled
+    so the expected total is ``target_rows``. Rates cap at 1.
+
+    Everything stays in-plan: per-source counts are a tiny aggregate, the
+    normalizing sum is a window over that aggregate (cardinality = number
+    of sources), and the rates broadcast-join back onto the fact table —
+    the corpus itself is never shuffled, only filtered. ``rate_col``
+    optionally exposes the applied rate for auditing."""
+    id_cols = id_cols or [source_col]
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    pow_n = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    # normalizer as a 1-row scalar broadcast (not a no-partition window,
+    # which would emit a single-partition warning even on the tiny frame)
+    norm = counts.agg(F.sum(pow_n).alias("__norm"))
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_rows)) * pow_n / F.col("__norm") / F.col("__n").cast("double"),
+        ).alias("__rate"),
+    )
+    u = hash_uniform(seed, *[F.col(c) for c in id_cols])
+    out = df.join(F.broadcast(rates), source_col).filter(u < F.col("__rate"))
+    if rate_col:
+        return out.withColumn(rate_col, F.round(F.col("__rate"), 6)).drop("__rate")
+    return out.drop("__rate")

@@ -84,3 +84,24 @@ def hash_split(
         expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
     assignment = expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
     return df.withColumn(split_col, assignment)
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_cols: list[str],
+    shard_col: str = "shard",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic output sharding: ``shard = hash48(seed || ids) % n``.
+
+    This is how a 100 TB pipeline shards its output files: a stateless
+    narrow projection (no shuffle, no global ordering), uniform in
+    expectation over uniform hash input, reproducible across engines and
+    partitionings. Pair with ``repartition(n, shard_col)`` only when the
+    sink genuinely needs one file per shard; otherwise let the writer see
+    the column and partition-by it."""
+    from instructionspipe_spark.operators.dedup import base_hash48
+
+    key = F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in id_cols])
+    return df.withColumn(shard_col, (base_hash48(key) % F.lit(n_shards)).cast("int"))

@@ -3193,3 +3193,149 @@ def contamination_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = documents.filter(F.col("doc_id") % 17 == 0)
     tr = documents.filter(F.col("doc_id") % 17 != 0)
     return ops.contamination_screen(tr, ev, ngram_words=5, min_shared=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus shaping: length-quantile filter, stratified / temperature sampling,
+# output sharding
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "length_quantile_filter",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, {_TOKEN_COUNT_SQL} AS n_tokens FROM documents),
+    cuts AS (
+        SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.05) AS lo_cut,
+               quantile_cont(CAST(n_tokens AS DOUBLE), 0.99) AS hi_cut
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, ROUND(lo_cut, 6) AS lo_cut, ROUND(hi_cut, 6) AS hi_cut
+    FROM scored, cuts
+    WHERE n_tokens >= lo_cut AND n_tokens <= hi_cut
+    """,
+)
+def length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier removal by exact token-count percentiles: drop the
+    bottom 5% and top 1%. The cuts come from Spark's exact `percentile`
+    aggregate (sorted-values linear interpolation — the same definition as
+    the oracle's quantile_cont), land in a one-row frame, and broadcast
+    back as a scalar cross join; the corpus pass itself is a narrow
+    filter. At 100 TB the percentile agg's state is the distinct token
+    counts (bounded, near-integer domain), not the rows."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select("doc_id", ops.token_count(F.col("text")).alias("n_tokens"))
+    cuts = scored.agg(
+        F.percentile("n_tokens", F.lit(0.05)).alias("lo_cut"),
+        F.percentile("n_tokens", F.lit(0.99)).alias("hi_cut"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))  # 1-row scalar frame
+        .filter((F.col("n_tokens") >= F.col("lo_cut")) & (F.col("n_tokens") <= F.col("hi_cut")))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("lo_cut", 6).alias("lo_cut"),
+            F.round("hi_cut", 6).alias("hi_cut"),
+        )
+    )
+
+
+_STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
+_STRATA_DEFAULT = 0.05
+_STRATA_SEED = 13
+
+
+def _stratified_oracle() -> str:
+    seeded = f"'{_STRATA_SEED}' || '|' || CAST(doc_id AS VARCHAR)"
+    u = f"({_hash48_sql(seeded)} + 1.0) / {float((1 << 48) + 1)!r}"
+    case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {f!r}" for s, f in _STRATA_FRACTIONS.items()
+    ) + f" ELSE {_STRATA_DEFAULT!r} END"
+    return f"""
+    SELECT doc_id, lang, source FROM documents WHERE {u} < ({case})
+    """
+
+
+@query("stratified_corpus_sample", oracle=_stratified_oracle())
+def stratified_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sampling at explicit fractions
+    (en half, de quarter, zh tenth, everything else 5%) — a single narrow
+    filter with an md5-derived uniform, so the realized sample is identical
+    under any partitioning and in any engine (DataFrame.sampleBy is not)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.stratified_sample(
+        documents,
+        "lang",
+        _STRATA_FRACTIONS,
+        seed=_STRATA_SEED,
+        id_cols=["doc_id"],
+        default_fraction=_STRATA_DEFAULT,
+    ).select("doc_id", "lang", "source")
+
+
+_MIX_TARGET, _MIX_ALPHA, _MIX_SEED = 200, 0.5, 11
+
+
+def _temperature_mixture_oracle() -> str:
+    seeded = f"'{_MIX_SEED}' || '|' || CAST(doc_id AS VARCHAR)"
+    u = f"({_hash48_sql(seeded)} + 1.0) / {float((1 << 48) + 1)!r}"
+    return f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    rates AS (
+        SELECT source,
+               least(1.0, {float(_MIX_TARGET)!r} * pow(CAST(n AS DOUBLE), {_MIX_ALPHA!r})
+                          / SUM(pow(CAST(n AS DOUBLE), {_MIX_ALPHA!r})) OVER ()
+                          / CAST(n AS DOUBLE)) AS rate
+        FROM counts
+    )
+    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE {u} < r.rate
+    """
+
+
+@query("temperature_mixture", oracle=_temperature_mixture_oracle())
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multi-source rebalancing (rate per source
+    proportional to count**alpha, alpha=0.5 upweights small sources),
+    scaled to an expected 200-row mixture. Per-source counts are a tiny
+    aggregate, the normalizer a one-row scalar broadcast over it, and the
+    rates broadcast-join back — the corpus is filtered, never shuffled."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.temperature_mixture_sample(
+        documents,
+        "source",
+        target_rows=_MIX_TARGET,
+        alpha=_MIX_ALPHA,
+        seed=_MIX_SEED,
+        id_cols=["doc_id"],
+        rate_col="rate",
+    ).select("doc_id", "source", "rate")
+
+
+@query(
+    "shard_summary",
+    oracle=f"""
+    WITH sharded AS (
+        SELECT CAST({_hash48_sql("'5' || '|' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard,
+               doc_id, n_chars
+        FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM sharded GROUP BY shard
+    """,
+)
+def shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output sharding as a stateless hash projection (shard = hash48 % 16)
+    with a per-shard balance report — how a 100 TB writer assigns files
+    without any global ordering or shuffle beyond the 16-key summary agg."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    sharded = ops.assign_shards(documents, 16, ["doc_id"], seed=5)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -565,3 +565,56 @@ def test_contamination_screen_finds_planted_overlap(spark):
     # the primitive: short docs (< n words) produce zero grams, not a crash
     short = spark.createDataFrame([(1, "too few words")], ["doc_id", "text"])
     assert word_ngram_hash_ids(short, "doc_id", "text", ngram_words=5).count() == 0
+
+
+def test_stratified_sample_properties(spark):
+    """Fraction 1 keeps a stratum wholly, 0 drops it, and the draw is
+    invariant to partitioning."""
+    from instructionspipe_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = stratified_sample(df, "s", {"a": 1.0, "b": 0.0}, seed=3, id_cols=["id"])
+    got = sorted(r["id"] for r in out.collect())
+    assert got == [i for i in range(200) if i % 2]
+    half = stratified_sample(df, "s", {"a": 0.5}, seed=3, id_cols=["id"], default_fraction=0.0)
+    again = stratified_sample(
+        df.repartition(13), "s", {"a": 0.5}, seed=3, id_cols=["id"], default_fraction=0.0
+    )
+    assert sorted(map(tuple, half.collect())) == sorted(map(tuple, again.collect()))
+    n = half.count()
+    assert 25 <= n <= 75  # ~Binomial(100, .5)
+
+
+def test_temperature_mixture_rates(spark):
+    """alpha=1 reproduces uniform global-rate sampling; alpha=0.5 gives the
+    small source a strictly higher rate; rates never exceed 1."""
+    from instructionspipe_spark.operators.sampling import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    flat = temperature_mixture_sample(
+        df, "src", target_rows=100, alpha=1.0, seed=1, id_cols=["id"], rate_col="rate"
+    )
+    rates = {r["src"]: r["rate"] for r in flat.select("src", "rate").distinct().collect()}
+    assert rates["big"] == rates["small"] == 0.1
+    temp = temperature_mixture_sample(
+        df, "src", target_rows=100, alpha=0.5, seed=1, id_cols=["id"], rate_col="rate"
+    )
+    trates = {r["src"]: r["rate"] for r in temp.select("src", "rate").distinct().collect()}
+    assert trates["small"] > trates["big"]
+    assert all(0 < v <= 1 for v in trates.values())
+    # expected totals stay ~target under both temperatures
+    assert 60 <= flat.count() <= 140 and 60 <= temp.count() <= 140
+
+
+def test_assign_shards_balanced_and_stable(spark):
+    from instructionspipe_spark.operators.splitting import assign_shards
+
+    df = spark.createDataFrame([(i,) for i in range(1600)], ["id"])
+    out = assign_shards(df, 16, ["id"], seed=5)
+    counts = {r["shard"]: r["count"] for r in out.groupBy("shard").count().collect()}
+    assert set(counts) == set(range(16))
+    assert max(counts.values()) < 3 * min(counts.values())  # uniform-ish
+    again = assign_shards(df.repartition(7), 16, ["id"], seed=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
