@@ -377,9 +377,15 @@ def _sig_band_pairs(
         ).alias("__band_hash"),
     )
     banded = banded.filter(F.col("__band_hash").isNotNull())  # NULL-signature rows never pair
-    w = Window.partitionBy("__band_idx", "__band_hash")
+    # Two-phase min, NOT a window: Window.partitionBy(band, hash) puts every
+    # row of a hot bucket on ONE task — a boilerplate-heavy corpus with
+    # millions of identical signatures makes that a straggler no AQE can
+    # split. groupBy.min gets a map-side partial aggregate (the hot bucket
+    # collapses to one row per input task before the exchange), and the
+    # join-back is a plain shuffle join AQE's skew handling CAN split.
+    reps = banded.groupBy("__band_idx", "__band_hash").agg(F.min("__id").alias("__min_id"))
     pairs = (
-        banded.withColumn("__min_id", F.min("__id").over(w))
+        banded.join(reps, ["__band_idx", "__band_hash"])
         .filter(F.col("__id") > F.col("__min_id"))
         .select(F.col("__min_id").alias("id_a"), F.col("__id").alias("id_b"))
     )
@@ -703,10 +709,14 @@ def simhash_near_dedup(
             "__band_idx", "__bucket"
         ),
     )
-    w = Window.partitionBy("__band_idx", "__bucket")
-    rep = F.min(F.struct("__id", "__fp")).over(w)
+    # Two-phase min (groupBy partial agg + join-back) instead of a window:
+    # same skew rationale as _sig_band_pairs — a bucket holding millions of
+    # identical fingerprints must not land on a single window task.
+    reps = banded.groupBy("__band_idx", "__bucket").agg(
+        F.min(F.struct("__id", "__fp")).alias("__rep")
+    )
     pairs = (
-        banded.withColumn("__rep", rep)
+        banded.join(reps, ["__band_idx", "__bucket"])
         .filter(F.col("__id") > F.col("__rep.__id"))
         .filter(
             F.bit_count(F.col("__fp").bitwiseXOR(F.col("__rep.__fp"))) <= F.lit(radius)

@@ -134,6 +134,66 @@ def test_multiprobe_recall_param_space(spark, embeddings, n_bits, k):
         )
 
 
+# -- adversarial skew: a boilerplate-heavy corpus must not funnel into one
+# window task. 60% of rows share ONE text (=> one hot LSH bucket holding
+# 720 identical signatures); the representative must come from a map-side
+# partial aggregate + joinable exchange, never Window.partitionBy(bucket).
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    n = 1200
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 5 < 3,
+            F.lit("identical boilerplate header repeated verbatim across the corpus " * 4),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("unique payload "),
+                F.md5(F.col("id").cast("string")),
+                F.lit(" "),
+                F.md5((F.col("id") + 7919).cast("string")),
+            )
+        )
+        .alias("text"),
+    )
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_dedup_adversarial_skew(spark, skewed_docs):
+    from instructionspipe_spark.operators.dedup import minhash_lsh_dedup
+
+    got = minhash_lsh_dedup(
+        skewed_docs, "doc_id", "text", num_perm=16, bands=4, threshold=0.5
+    )
+    plan = _physical_plan(got)
+    assert "Window" not in plan, "LSH representative must not be a window (skew straggler)"
+    assert "partial_min" in plan, "representative min must partial-aggregate map-side"
+    rows = got.collect()
+    boiler = [r for r in rows if r["text"].startswith("identical boilerplate")]
+    assert len(boiler) == 1 and boiler[0]["doc_id"] == 0, "720 identical docs must collapse to min id"
+    # md5-distinct payloads share ~1% trigram jaccard — far under threshold.
+    assert len(rows) == 1 + 1200 * 2 // 5
+
+
+def test_simhash_near_dedup_adversarial_skew(spark, skewed_docs):
+    from instructionspipe_spark.operators.dedup import simhash_near_dedup
+
+    got = simhash_near_dedup(skewed_docs, "doc_id", "text", bits=32, bands=8, radius=3)
+    plan = _physical_plan(got)
+    assert "Window" not in plan, "bucket representative must not be a window"
+    assert "partial_min" in plan
+    rows = got.collect()
+    boiler = [r for r in rows if r["text"].startswith("identical boilerplate")]
+    assert len(boiler) == 1 and boiler[0]["doc_id"] == 0
+    # Unique payloads have ~independent fingerprints (P[hamming<=3 of 32] ~ 1e-6
+    # per pair) — allow at most a couple of accidental near-dup collapses.
+    assert len(rows) >= 1 + 1200 * 2 // 5 - 3
+
+
 @pytest.mark.parametrize("n,seed", [(5, 11), (50, 0)])
 def test_weighted_sample_param_space(spark, documents, duck, n, seed):
     from instructionspipe_spark.operators.sampling import weighted_sample
