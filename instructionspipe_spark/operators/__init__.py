@@ -56,4 +56,5 @@ from instructionspipe_spark.operators.textstats import (  # noqa: F401
     repetition_stats,
     text_stats,
     token_count,
+    token_count_bpe,
 )

@@ -205,13 +205,41 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_count_bpe(text_col, merges: list[list[str]] | None = None) -> Column:
+    """F17 exact token counting via the self-contained BPE tokenizer
+    (``functions/bpe.py``; vendored merge-table fixture by default) as an
+    iterator-form Arrow pandas UDF — the tokenizer loads once per TASK
+    before the batch loop, identical execution shape to the
+    ``transformers`` path in :func:`token_count_hf`, so this code path is
+    exercised end-to-end even where ``transformers`` is absent and a
+    production merge table swaps in without changing the plan. (Reference
+    counts with an HF tokenizer, ``apps/cost_estimator_inf.py:53-63``.)"""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    merges_json = _json.dumps(merges) if merges is not None else None
+
+    @F.pandas_udf(T.LongType())
+    def _count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from instructionspipe_spark.functions.bpe import BpeTokenizer as _Tok
+
+        tok = _Tok(_json.loads(merges_json)) if merges_json else _Tok.fixture()
+        for texts in batches:
+            yield texts.map(tok.count)
+
+    return _count(text_col if not isinstance(text_col, str) else F.col(text_col))
+
+
 def token_count_hf(text_col: str, model_name: str = "gpt2"):
     """F17 exact token counting via a HuggingFace tokenizer inside an
     Arrow-batched pandas UDF (the reference counts with an HF tokenizer,
     ``apps/cost_estimator_inf.py:53-63``). Gated: raises ImportError where
     ``transformers`` is absent (this environment) — :func:`token_count` is
-    the always-available estimator. Iterator-form UDF: the tokenizer loads
-    once per TASK (before the batch loop), not once per Arrow batch."""
+    the always-available estimator and :func:`token_count_bpe` the
+    always-available EXACT path (same iterator-UDF shape, vendored merge
+    table). Iterator-form UDF: the tokenizer loads once per TASK (before
+    the batch loop), not once per Arrow batch."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -31,29 +31,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Frames persisted by query builders. A query fn returns its DataFrame
-# *before* any action runs, so it cannot unpersist its own intermediates;
-# instead it registers them here and the next query invocation (or an
-# explicit release_persisted() from a harness) frees them. Without this the
-# cached stage of e.g. corpus_prep_pipeline leaks executor memory across
-# every subsequent query in a long-lived session.
-_PERSISTED: list[DataFrame] = []
-
-
-def managed_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and track it for deferred release."""
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
-
-
-def release_persisted() -> None:
-    """Unpersist every frame registered by managed_persist (non-blocking)."""
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist(blocking=False)
-        except Exception:
-            pass
+# Persist tracking lives in session.py (import-cycle-free) so operators can
+# use it too; re-exported here because harnesses import it from the registry.
+from instructionspipe_spark.session import managed_persist, release_persisted  # noqa: F401,E402
 
 
 def query(name: str, oracle: str | None = None):
@@ -997,6 +977,23 @@ def token_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fns.word_count(t).alias("n_words"),
         ops.token_count(t).alias("n_tokens"),
+    )
+
+
+@query("bpe_token_counts")  # no SQL oracle: BPE merges aren't SQL-expressible;
+# correctness is locked by tests/test_functions.py (UDF counts == driver-side
+# BpeTokenizer counts, plus encode/count unit cases) — driver records rows-only.
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 exact tokenization end-to-end via the self-contained BPE path
+    (vendored merge table, iterator pandas UDF loading the tokenizer once
+    per task — operators/textstats.py:token_count_bpe)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from instructionspipe_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(documents)
+    return docs.select(
+        "doc_id",
+        ops.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
     )
 
 
@@ -3221,8 +3218,10 @@ def length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (sorted-values linear interpolation — the same definition as
     the oracle's quantile_cont), land in a one-row frame, and broadcast
     back as a scalar cross join; the corpus pass itself is a narrow
-    filter. At 100 TB the percentile agg's state is the distinct token
-    counts (bounded, near-integer domain), not the rows."""
+    filter. The percentile agg's state is the distinct token counts
+    (bounded, near-integer domain) — fine here, but the scale default is
+    length_quantile_filter_approx (bounded-state sketch); this exact form
+    is its oracle twin."""
     (documents,) = _t(spark, sf_dir, "documents")
     scored = documents.select("doc_id", ops.token_count(F.col("text")).alias("n_tokens"))
     cuts = scored.agg(
@@ -3238,6 +3237,43 @@ def length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lo_cut", 6).alias("lo_cut"),
             F.round("hi_cut", 6).alias("hi_cut"),
         )
+    )
+
+
+@query(
+    "length_quantile_filter_approx",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, {_TOKEN_COUNT_SQL} AS n_tokens FROM documents),
+    cuts AS (
+        SELECT quantile_disc(n_tokens, 0.05) AS lo_cut,
+               quantile_disc(n_tokens, 0.99) AS hi_cut
+        FROM scored
+    )
+    SELECT s.doc_id, s.n_tokens, c.lo_cut, c.hi_cut
+    FROM scored s, cuts c
+    WHERE s.n_tokens >= c.lo_cut AND s.n_tokens <= c.hi_cut
+    """,
+)
+def length_quantile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-default twin of length_quantile_filter: cuts from
+    `approx_percentile` (Greenwald-Khanna sketch, O(accuracy) state per
+    partition regardless of row count) instead of the exact `percentile`
+    aggregate. With accuracy >= N the sketch is exact and returns the
+    discrete quantile element — which is what makes this oracle-checkable:
+    both sides pick an actual element (DuckDB `quantile_disc`), so values
+    hash-match at test scale; at 100 TB the same plan degrades gracefully
+    to epsilon-rank error instead of blowing up aggregate state on a
+    long-tail length distribution."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select("doc_id", ops.token_count(F.col("text")).alias("n_tokens"))
+    cuts = scored.agg(
+        F.approx_percentile("n_tokens", F.lit(0.05), F.lit(1_000_000)).alias("lo_cut"),
+        F.approx_percentile("n_tokens", F.lit(0.99), F.lit(1_000_000)).alias("hi_cut"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .filter((F.col("n_tokens") >= F.col("lo_cut")) & (F.col("n_tokens") <= F.col("hi_cut")))
+        .select("doc_id", "n_tokens", "lo_cut", "hi_cut")
     )
 
 

@@ -87,6 +87,31 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     return df
 
 
+# Frames persisted by operators/query builders. A builder returns its
+# DataFrame *before* any action runs, so it cannot unpersist its own
+# intermediates; instead it registers them here and the next registry query
+# invocation (or an explicit release_persisted() from a harness) frees them.
+# Without this the cached stage of e.g. corpus_prep_pipeline leaks executor
+# memory across every subsequent query in a long-lived session.
+_PERSISTED: list = []
+
+
+def managed_persist(df):
+    """Persist ``df`` and track it for deferred release."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every frame registered by managed_persist (non-blocking)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def ping(spark: SparkSession) -> bool:
     """Connection smoke test (SURVEY.md L14 — the reference round-trips "Hi"
     through the LLM before a run, inf.py:60-66; the engine's equivalent is a

