@@ -154,8 +154,18 @@ class OpenAiLlm(AsyncKernelLlm):
     max_tokens: int = 4096
     max_concurrency: int = 16
     length_retries: int = 3
+    #: L12 constrained decoding: an OpenAI ``response_format`` envelope, e.g.
+    #: ``{"type": "json_schema", "json_schema": {...}}`` (the reference
+    #: declares exactly this shape, ``self_verification_mr.py:19-34``, and
+    #: wires it — commented out for reasoning models — at
+    #: ``llm_cli.py:119-121``). Serialized as JSON so the frozen dataclass
+    #: stays hashable/picklable; pair with ``plans.structured.parse_structured``
+    #: for the declared-schema parse stage.
+    response_format_json: str | None = None
 
     def _make_completer(self):
+        import json as _json
+
         import openai
 
         client = openai.AsyncOpenAI(
@@ -167,9 +177,13 @@ class OpenAiLlm(AsyncKernelLlm):
         seed = self.seed
         max_tokens = self.max_tokens
         length_retries = self.length_retries
+        response_format = (
+            _json.loads(self.response_format_json) if self.response_format_json else None
+        )
 
         async def one(prompt: str) -> str | None:
             temp, freq = temperature, 0.0
+            extra = {"response_format": response_format} if response_format else {}
             for _ in range(length_retries + 1):
                 resp = await client.chat.completions.create(
                     model=model,
@@ -179,6 +193,7 @@ class OpenAiLlm(AsyncKernelLlm):
                     seed=seed,
                     max_tokens=max_tokens,
                     frequency_penalty=freq,
+                    **extra,
                 )
                 choice = resp.choices[0]
                 if choice.finish_reason != "length":

@@ -1803,6 +1803,81 @@ def self_verification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "extraction", "complement", "attribution")
 
 
+@query(
+    "constrained_json_parse",
+    oracle=r"""
+    WITH raw AS (
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 7 = 0 THEN 'not a json payload'
+                 WHEN doc_id % 11 = 0 THEN 'chain of thought</think> {"answer": "' || md5(text)
+                      || '", "score": ' || CAST(doc_id % 5 AS VARCHAR) || ', "ok": false}'
+                 WHEN doc_id % 3 = 0 THEN '```json {"answer": "' || md5(text) || '", "score": '
+                      || CAST(doc_id % 5 AS VARCHAR) || ', "ok": true} ```'
+                 ELSE '{"answer": "' || md5(text) || '", "score": '
+                      || CAST(doc_id % 5 AS VARCHAR) || ', "ok": false}'
+               END AS completion
+        FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                   list_extract(string_split(completion, '</think>'), -1),
+                   '^\s*```(json|python)?\s*', ''), '\s*```\s*$', '')) AS s
+        FROM raw
+    )
+    SELECT doc_id,
+           CASE WHEN json_valid(s) THEN json_extract_string(s, '$.answer') END AS answer,
+           CASE WHEN json_valid(s) THEN CAST(json_extract(s, '$.score') AS BIGINT) END AS score,
+           CASE WHEN json_valid(s) THEN CAST(json_extract(s, '$.ok') AS BOOLEAN) END AS ok
+    FROM stripped
+    """,
+)
+def constrained_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12 constrained-decoding parse stage: completions under a declared
+    JSON schema (the reference's INIT_GEN_SCHEMA shape,
+    ``self_verification_mr.py:19-34``) parse via from_json after the F7
+    fence-strip fallback — fenced, reasoning-prefixed, and malformed
+    completions all flow through one expression-only plan; malformed rows
+    yield NULL fields, never an error."""
+    from instructionspipe_spark.plans.structured import parse_structured
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    md = F.md5(F.col("text"))
+    score = (F.col("doc_id") % 5).cast("string")
+    bare = F.concat(
+        F.lit('{"answer": "'), md, F.lit('", "score": '), score, F.lit(', "ok": false}')
+    )
+    fenced = F.concat(
+        F.lit('```json {"answer": "'), md, F.lit('", "score": '), score, F.lit(', "ok": true} ```')
+    )
+    completion = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("not a json payload"))
+        .when(F.col("doc_id") % 11 == 0, F.concat(F.lit("chain of thought</think> "), bare))
+        .when(F.col("doc_id") % 3 == 0, fenced)
+        .otherwise(bare)
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "answer": {"type": "string"},
+            "score": {"type": "integer"},
+            "ok": {"type": "boolean"},
+        },
+        "required": ["answer", "score", "ok"],
+        "additionalProperties": False,
+    }
+    parsed = parse_structured(
+        documents.select("doc_id", completion.alias("completion")), "completion", schema
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("parsed.answer").alias("answer"),
+        F.col("parsed.score").alias("score"),
+        F.col("parsed.ok").alias("ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.8 F5-F7: tag extraction / fence stripping over synthesized wrappers
 # ---------------------------------------------------------------------------

@@ -49,3 +49,108 @@ def test_async_kernel_bounded_concurrency(spark):
         spark.createDataFrame([(i, f"p{i}") for i in range(20)], ["id", "p"]), "p", "ans"
     )
     assert out.filter(F.col("ans").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Record-replay fixture for the LIVE OpenAiLlm path (L4/L12): a fake `openai`
+# module with canned finish_reason sequences drives the real _make_completer
+# retry loop — every branch of the reference's escalation policy
+# (llm_cli.py:123-135) asserted without network.
+# ---------------------------------------------------------------------------
+
+
+class _Recorder:
+    """Canned chat.completions.create: pops scripted (finish_reason, content)
+    responses and records every request's params."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = []
+
+    async def create(self, **kwargs):
+        import types
+
+        self.calls.append(kwargs)
+        finish_reason, content = self.script.pop(0)
+        choice = types.SimpleNamespace(
+            finish_reason=finish_reason,
+            message=types.SimpleNamespace(content=content),
+        )
+        return types.SimpleNamespace(choices=[choice])
+
+
+def _fake_openai(monkeypatch, script):
+    import sys
+    import types
+
+    rec = _Recorder(script)
+
+    class FakeAsyncOpenAI:
+        def __init__(self, base_url=None, api_key=None):
+            self.chat = types.SimpleNamespace(
+                completions=types.SimpleNamespace(create=rec.create)
+            )
+
+    monkeypatch.setitem(sys.modules, "openai", types.SimpleNamespace(AsyncOpenAI=FakeAsyncOpenAI))
+    return rec
+
+
+def _run(coro):
+    import asyncio
+
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(coro)
+    finally:
+        loop.close()
+
+
+def test_openai_replay_no_retry(monkeypatch):
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    rec = _fake_openai(monkeypatch, [("stop", "fine")])
+    one = OpenAiLlm(model="m", temperature=0.3)._make_completer()
+    assert _run(one("hi")) == "fine"
+    assert len(rec.calls) == 1
+    c = rec.calls[0]
+    assert c["temperature"] == 0.3 and c["frequency_penalty"] == 0.0
+    assert "response_format" not in c
+
+
+def test_openai_replay_length_escalation(monkeypatch):
+    """finish_reason=length -> retried with temperature=1.0, freq=0.2."""
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    rec = _fake_openai(monkeypatch, [("length", "trunc"), ("stop", "full")])
+    one = OpenAiLlm(model="m")._make_completer()
+    assert _run(one("hi")) == "full"
+    assert len(rec.calls) == 2
+    assert rec.calls[0]["temperature"] == 0.0 and rec.calls[0]["frequency_penalty"] == 0.0
+    assert rec.calls[1]["temperature"] == 1.0 and rec.calls[1]["frequency_penalty"] == 0.2
+
+
+def test_openai_replay_budget_exhausted(monkeypatch):
+    """All length: exactly length_retries+1 calls, last content returned."""
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    rec = _fake_openai(
+        monkeypatch,
+        [("length", "t1"), ("length", "t2"), ("length", "t3"), ("length", "t4"), ("stop", "never")],
+    )
+    one = OpenAiLlm(model="m", length_retries=3)._make_completer()
+    assert _run(one("hi")) == "t4"
+    assert len(rec.calls) == 4  # initial + 3 retries, never a 5th
+
+
+def test_openai_replay_response_format_passthrough(monkeypatch):
+    """L12: the declared-schema envelope reaches every request incl. retries."""
+    import json
+
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+    from instructionspipe_spark.plans.structured import response_format_envelope
+
+    env = response_format_envelope("ans", {"type": "object", "properties": {"a": {"type": "string"}}})
+    rec = _fake_openai(monkeypatch, [("length", "t"), ("stop", '{"a": "x"}')])
+    one = OpenAiLlm(model="m", response_format_json=json.dumps(env))._make_completer()
+    assert _run(one("hi")) == '{"a": "x"}'
+    assert [c["response_format"] for c in rec.calls] == [env, env]

@@ -141,3 +141,56 @@ def test_broadcast_if_small_is_stats_gated(spark, tables):
     assert "ResolvedHint" not in gated._jdf.queryExecution().analyzed().toString()
     off = broadcast_if_small(small, threshold_bytes=-1)  # threshold disabled
     assert "ResolvedHint" not in off._jdf.queryExecution().analyzed().toString()
+
+
+def test_json_schema_to_spark_nested():
+    from pyspark.sql import types as T
+
+    from instructionspipe_spark.plans.structured import json_schema_to_spark
+
+    st = json_schema_to_spark(
+        {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string"},
+                "score": {"type": "number"},
+                "n": {"type": "integer"},
+                "ok": {"type": "boolean"},
+                "tags": {"type": "array", "items": {"type": "string"}},
+                "sub": {"type": "object", "properties": {"k": {"type": "integer"}}},
+                "mystery": {},
+            },
+        }
+    )
+    assert isinstance(st, T.StructType)
+    f = {x.name: x.dataType for x in st.fields}
+    assert f["name"] == T.StringType() and f["score"] == T.DoubleType()
+    assert f["n"] == T.LongType() and f["ok"] == T.BooleanType()
+    assert f["tags"] == T.ArrayType(T.StringType())
+    assert f["sub"] == T.StructType([T.StructField("k", T.LongType())])
+    assert f["mystery"] == T.StringType()  # permissive fallback
+
+
+def test_parse_structured_fenced_and_malformed(spark):
+    from instructionspipe_spark.plans.structured import parse_structured
+
+    schema = {"type": "object", "properties": {"a": {"type": "string"}, "n": {"type": "integer"}}}
+    df = spark.createDataFrame(
+        [
+            (0, '{"a": "plain", "n": 1}'),
+            (1, '```json\n{"a": "fenced", "n": 2}\n```'),
+            (2, 'thinking...</think>{"a": "thought", "n": 3}'),
+            (3, "utter garbage"),
+            (4, None),
+        ],
+        ["id", "completion"],
+    )
+    rows = {
+        r["id"]: (r["parsed"]["a"] if r["parsed"] else None, r["parsed"]["n"] if r["parsed"] else None)
+        for r in parse_structured(df, "completion", schema).collect()
+    }
+    assert rows[0] == ("plain", 1)
+    assert rows[1] == ("fenced", 2)
+    assert rows[2] == ("thought", 3)
+    assert rows[3] in ((None, None),)  # malformed -> NULL fields, no error
+    assert rows[4] == (None, None)
