@@ -85,6 +85,47 @@ def judge_metrics(spark: SparkSession, results: DataFrame) -> DataFrame:
     return spark.sql(METRICS_SQL)
 
 
+def group_relative_advantage(
+    df: DataFrame,
+    reward_col: str,
+    group_cols: list[str],
+    out_col: str = "advantage",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """GRPO's group-relative reward normalization: ``(r - mean_group) /
+    (stddev_pop_group + eps)`` — the piece of the reference's GRPO training
+    loop (judge-as-reward, ``apps/training/grpo_plugin.py:181-243``; the
+    group baseline itself is standard GRPO) that is a DATA operator rather
+    than a trainer. Two-phase agg + join-back (map-side partials, AQE-
+    splittable), same skew-safe shape as the dedup representatives; a
+    degenerate group (all rewards equal) gets advantage 0, not NULL/inf."""
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(reward_col).alias("__mu"), F.stddev_pop(reward_col).alias("__sigma")
+    )
+    return (
+        df.join(stats, group_cols)
+        .withColumn(
+            out_col, (F.col(reward_col) - F.col("__mu")) / (F.col("__sigma") + F.lit(eps))
+        )
+        .drop("__mu", "__sigma")
+    )
+
+
+def mock_judge_response(
+    model: Column | str, prompt: Column, labels: tuple[str, str] = ("supported", "unsupported")
+) -> Column:
+    """Deterministic judge answer ``{"label": ...}`` chosen by the
+    md5(model:prompt) hash; ``model`` may be a Column (e.g. a per-candidate
+    name) so fanned-out judging stays one expression over exploded rows."""
+    m = model if isinstance(model, Column) else F.lit(model)
+    h = F.md5(F.concat(m, F.lit(":"), prompt))
+    pos, neg = labels
+    return F.when(
+        F.substring(h, 1, 1).isin(*"01234567"),
+        F.lit('{"label": "%s"}' % pos),
+    ).otherwise(F.lit('{"label": "%s"}' % neg))
+
+
 class MockJudgeLlm:
     """Expression-based deterministic judge: answers parseable JSON
     ``{"label": ...}`` with the label chosen by the prompt hash — the offline
@@ -98,12 +139,7 @@ class MockJudgeLlm:
         self.labels = labels
 
     def completion_column(self, prompt: Column) -> Column:
-        h = F.md5(F.concat(F.lit(self.model), F.lit(":"), prompt))
-        pos, neg = self.labels
-        return F.when(
-            F.substring(h, 1, 1).isin(*"01234567"),
-            F.lit('{"label": "%s"}' % pos),
-        ).otherwise(F.lit('{"label": "%s"}' % neg))
+        return mock_judge_response(self.model, prompt, self.labels)
 
     def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
         return df.withColumn(out_col, self.completion_column(F.col(prompt_col)))

@@ -2075,6 +2075,64 @@ def judge_fanout_ensemble_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+_GRPO_K = 4  # candidates per prompt group
+
+
+def _grpo_oracle(k: int = _GRPO_K) -> str:
+    prompt = "'Answer for: ' || text"
+    reward = (
+        "CASE WHEN substr(md5('cand' || CAST(cand AS VARCHAR) || ':' || ({p})), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1.0 ELSE 0.0 END"
+    ).format(p=prompt)
+    return f"""
+    WITH cands AS (
+        SELECT doc_id, cand, {reward} AS reward
+        FROM documents, (SELECT unnest(range({k})) AS cand)
+    ),
+    stats AS (
+        SELECT doc_id, AVG(reward) AS mu, stddev_pop(reward) AS sigma
+        FROM cands GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.cand, c.reward,
+           ROUND((c.reward - s.mu) / (s.sigma + 1e-6), 4) AS advantage
+    FROM cands c JOIN stats s USING (doc_id)
+    """
+
+
+@query("grpo_reward_advantage", oracle=_grpo_oracle())
+def grpo_reward_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13's data-plane core: judge-as-reward over k candidate completions
+    per prompt (grpo_plugin.py:181-243) followed by GRPO group-relative
+    advantage normalization — explode k candidate indexes (cheap, before
+    the judge expression per the Generate rule), score each with the
+    deterministic judge, normalize within the prompt group."""
+    from instructionspipe_spark.plans.judge import (
+        factuality_score,
+        group_relative_advantage,
+        mock_judge_response,
+        parse_judgement,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    cands = documents.select(
+        "doc_id",
+        F.concat(F.lit("Answer for: "), F.col("text")).alias("__prompt"),
+        F.explode(F.sequence(F.lit(0), F.lit(_GRPO_K - 1))).alias("cand"),
+    )
+    judged = cands.withColumn(
+        "reward",
+        factuality_score(
+            parse_judgement(
+                mock_judge_response(
+                    F.concat(F.lit("cand"), F.col("cand").cast("string")), F.col("__prompt")
+                )
+            )
+        ),
+    )
+    out = group_relative_advantage(judged, "reward", ["doc_id"])
+    return out.select("doc_id", "cand", "reward", F.round("advantage", 4).alias("advantage"))
+
+
 # ---------------------------------------------------------------------------
 # G7 scale path: hash-proportional split + sign-LSH ANN, both oracle-paired
 # ---------------------------------------------------------------------------

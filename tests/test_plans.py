@@ -194,3 +194,23 @@ def test_parse_structured_fenced_and_malformed(spark):
     assert rows[2] == ("thought", 3)
     assert rows[3] in ((None, None),)  # malformed -> NULL fields, no error
     assert rows[4] == (None, None)
+
+
+def test_group_relative_advantage(spark):
+    import math
+
+    from instructionspipe_spark.plans.judge import group_relative_advantage
+
+    df = spark.createDataFrame(
+        [("p1", 0, 1.0), ("p1", 1, 0.0), ("p1", 2, 1.0), ("p1", 3, 0.0), ("p2", 0, 0.5), ("p2", 1, 0.5)],
+        ["prompt_id", "cand", "reward"],
+    )
+    rows = {
+        (r["prompt_id"], r["cand"]): r["advantage"]
+        for r in group_relative_advantage(df, "reward", ["prompt_id"]).collect()
+    }
+    # p1: mu=0.5, sigma_pop=0.5 -> advantage = +-1 (eps-shrunk)
+    assert math.isclose(rows[("p1", 0)], 1.0, rel_tol=1e-4)
+    assert math.isclose(rows[("p1", 1)], -1.0, rel_tol=1e-4)
+    # degenerate group: all equal -> 0, never NULL/inf
+    assert rows[("p2", 0)] == 0.0 and rows[("p2", 1)] == 0.0
