@@ -65,6 +65,11 @@ BENCH_QUERIES = [
     "sliding_windows",
     "instructions_mapreduce",
     "self_verification",
+    # round 4 additions
+    "length_quantile_filter_approx",
+    "bpe_token_counts",
+    "constrained_json_parse",
+    "grpo_reward_advantage",
 ]
 
 

@@ -328,8 +328,9 @@ def minhash_lsh_candidates(
     all-pairs candidates), and representative pairing makes candidate count
     linear in input size while still dropping every bucket member that
     verifies against the representative. Plan shape: narrow projection ->
-    posexplode bands -> window-min over (band_idx, band_hash) -> filter;
-    one shuffle on uniformly-distributed md5 band keys.
+    persist (__id, __sig) -> posexplode bands -> two-phase min over
+    (band_idx, band_hash) (map-side partial agg + AQE-splittable join-back;
+    skew-immune, see _sig_band_pairs) -> filter.
     """
     from instructionspipe_spark.session import ensure_parallelism
 
@@ -356,6 +357,15 @@ def _sig_band_pairs(
     (~1.3x rows), which the memoized verification absorbs for less than the
     exchange cost.
     """
+    from instructionspipe_spark.session import managed_persist
+
+    # The two-phase representative min below reads the banded frame TWICE
+    # (groupBy branch + join-back branch). Persist the signature frame so the
+    # Arrow minhash kernel — the dominant per-row cost — runs once; the
+    # explode+md5 re-derivation per branch is cheap codegen. Signatures are
+    # ~num_perm ints/doc, orders of magnitude smaller than the text, so this
+    # persists fine at corpus scale (MEMORY_AND_DISK default).
+    with_sig = managed_persist(with_sig)
     exploded = with_sig.select(
         "__id", "__sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band_idx")
     )
@@ -692,10 +702,17 @@ def simhash_near_dedup(
     assert radius < bands, "exact recall needs radius < bands (pigeonhole)"
     from instructionspipe_spark.session import ensure_parallelism
 
+    from instructionspipe_spark.session import managed_persist
+
     bits_per_band = bits // bands
-    dfp = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        simhash(F.col(text_col), bits=bits, ngram=ngram, engine=engine).alias("__fp"),
+    # Persisted: the two-phase representative min reads the banded frame
+    # twice (groupBy + join-back); caching (id, fp) — 16 bytes/doc — keeps
+    # the simhash kernel single-pass.
+    dfp = managed_persist(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("__id"),
+            simhash(F.col(text_col), bits=bits, ngram=ngram, engine=engine).alias("__fp"),
+        )
     )
     # NB: no isNotNull prefilter on __fp — Catalyst would push it through
     # the projection by SUBSTITUTING the whole fingerprint expression into

@@ -231,7 +231,7 @@ def token_count_bpe(text_col, merges: list[list[str]] | None = None) -> Column:
     return _count(text_col if not isinstance(text_col, str) else F.col(text_col))
 
 
-def token_count_hf(text_col: str, model_name: str = "gpt2"):
+def token_count_hf(text_col: str, model_name: str = "gpt2", tokenizer_factory=None):
     """F17 exact token counting via a HuggingFace tokenizer inside an
     Arrow-batched pandas UDF (the reference counts with an HF tokenizer,
     ``apps/cost_estimator_inf.py:53-63``). Gated: raises ImportError where
@@ -239,23 +239,32 @@ def token_count_hf(text_col: str, model_name: str = "gpt2"):
     the always-available estimator and :func:`token_count_bpe` the
     always-available EXACT path (same iterator-UDF shape, vendored merge
     table). Iterator-form UDF: the tokenizer loads once per TASK (before
-    the batch loop), not once per Arrow batch."""
+    the batch loop), not once per Arrow batch.
+
+    ``tokenizer_factory`` (picklable ``() -> tokenizer-with-.encode``)
+    overrides the default transformers loader — the seam that lets tests
+    replay a canned tokenizer through the REAL worker-side UDF machinery
+    (monkeypatching sys.modules only patches the driver process)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    try:
-        import transformers  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without transformers
-        raise ImportError(
-            "token_count_hf requires the 'transformers' package; use "
-            "token_count (expression estimator) instead"
-        ) from e
+    if tokenizer_factory is None:
+        try:
+            import transformers  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env without transformers
+            raise ImportError(
+                "token_count_hf requires the 'transformers' package; use "
+                "token_count (expression estimator) instead"
+            ) from e
+
+        def tokenizer_factory():
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(model_name)
 
     @F.pandas_udf(T.LongType())
     def _count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        from transformers import AutoTokenizer
-
-        tok = AutoTokenizer.from_pretrained(model_name)
+        tok = tokenizer_factory()
         for texts in batches:
             yield texts.map(lambda t: len(tok.encode(t)) if t is not None else 0)
 

@@ -212,3 +212,23 @@ def test_bpe_udf_edge_rows(spark):
     assert out[0] == 0 and out[1] == 0 and out[2] == 0
     assert out[3] >= 4  # hello + , + world + !
     assert out[4] >= 2
+
+
+def test_token_count_hf_replay(spark):
+    """The transformers-gated iterator-UDF path (token_count_hf) executed
+    end-to-end through the real worker-side machinery via the
+    tokenizer_factory seam — counts must equal the fake's rule. The fake is
+    a LOCAL class so cloudpickle ships it by value (a module-level test
+    class pickles by reference to a module Spark workers can't import)."""
+    from instructionspipe_spark.operators.textstats import token_count_hf
+
+    class _FakeHfTok:
+        def encode(self, t):
+            return [0] + [1] * len(t.split()) + [2]
+
+    df = spark.createDataFrame(
+        [(0, "one two three"), (1, ""), (2, None), (3, "just one")], ["id", "text"]
+    )
+    col = token_count_hf("text", tokenizer_factory=_FakeHfTok)
+    got = {r["id"]: r["n"] for r in df.select("id", col.alias("n")).collect()}
+    assert got == {0: 5, 1: 2, 2: 0, 3: 4}
