@@ -55,6 +55,11 @@ from instructionspipe_spark.operators.textstats import (  # noqa: F401
     quality_score,
     repetition_stats,
     text_stats,
+    tfidf_top_terms,
     token_count,
     token_count_bpe,
+)
+from instructionspipe_spark.operators.chunking import (  # noqa: F401
+    chunk_count,
+    chunk_text,
 )

@@ -205,6 +205,46 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, round_digits: int = 6
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf (smooth idf
+    ``ln((N+1)/(df+1))``) — the keyword-extraction staple of corpus
+    curation, fully relational. Plan: explode tokens -> per (doc, term)
+    counts (one shuffle, map-side partials) -> per-term document frequency
+    (second partial agg over the ALREADY-reduced tf frame, not the raw
+    tokens) -> join tf to the vocabulary-sized idf side (AQE picks the
+    strategy) -> broadcast 1-row corpus count -> per-doc top-k window
+    (partitions bounded by per-document vocabulary, never corpus-sized).
+    Scores are rounded BEFORE ranking on both engines so cross-engine
+    float ulps can't flip the order; ties break on the term."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    tf = (
+        df.select(F.col(id_col), F.explode(_lower_tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    score = F.round(
+        F.col("__tf") * F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0))),
+        round_digits,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "rnk", "tfidf")
+    )
+
+
 def token_count_bpe(text_col, merges: list[list[str]] | None = None) -> Column:
     """F17 exact token counting via the self-contained BPE tokenizer
     (``functions/bpe.py``; vendored merge-table fixture by default) as an

@@ -3410,6 +3410,67 @@ def length_quantile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "document_chunks",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0
+    ),
+    idx AS (
+        SELECT doc_id, text,
+               unnest(range(CAST(1 + ceil(greatest(len - 512, 0) / 448.0) AS BIGINT))) AS chunk_idx
+        FROM base
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 448 + 1 AS chunk_start,
+           substr(text, CAST(chunk_idx * 448 + 1 AS BIGINT), 512) AS chunk_text
+    FROM idx
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length prep: split documents into 512-char chunks with
+    64-char overlap (stride 448). Zero shuffles — explode a cheap ordinal
+    sequence, substring on the exploded rows (operators/chunking.py)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = ops.chunk_text(documents, "doc_id", "text", chunk_chars=512, overlap=64)
+    return out.select("doc_id", "chunk_idx", "chunk_start", "chunk_text")
+
+
+_TFIDF_TOKS_SQL = (
+    r"list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')),"
+    r" '\s+'), t -> t <> '')"
+)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TFIDF_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tfc * ln((total.n_docs + 1.0) / (dfq.dft + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfq USING (term), total
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, rnk, tfidf FROM ranked WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: per-document top-5 terms by tf-idf, ranked on
+    pre-rounded scores so cross-engine float ulps can't flip order."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.tfidf_top_terms(documents, "doc_id", "text", k=5)
+
+
 _STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
 _STRATA_DEFAULT = 0.05
 _STRATA_SEED = 13

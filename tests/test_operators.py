@@ -618,3 +618,56 @@ def test_assign_shards_balanced_and_stable(spark):
     assert max(counts.values()) < 3 * min(counts.values())  # uniform-ish
     again = assign_shards(df.repartition(7), 16, ["id"], seed=5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_chunk_text_boundaries(spark):
+    """Exact-fit, one-over, empty, NULL, and reconstruction invariants."""
+    from instructionspipe_spark.operators.chunking import chunk_count, chunk_text
+
+    df = spark.createDataFrame(
+        [(0, "a" * 512), (1, "b" * 513), (2, ""), (3, None), (4, "short"), (5, "c" * 1000)],
+        ["doc_id", "text"],
+    )
+    rows = chunk_text(df, "doc_id", "text", chunk_chars=512, overlap=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and len(by_doc[0][0]["chunk_text"]) == 512
+    assert len(by_doc[1]) == 2  # 513 chars -> second chunk of overlap+1
+    assert by_doc[1][1]["chunk_start"] == 449 and len(by_doc[1][1]["chunk_text"]) == 65
+    assert 2 not in by_doc and 3 not in by_doc  # empty/NULL -> no rows
+    assert len(by_doc[4]) == 1 and by_doc[4][0]["chunk_text"] == "short"
+    # stride coverage: consecutive chunks overlap by exactly 64 chars
+    c5 = sorted(by_doc[5], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in c5] == [1, 449, 897]
+    assert c5[0]["chunk_text"][448:] == c5[1]["chunk_text"][:64]
+    # counts agree with the expression twin
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", chunk_count(F.col("text"), 512, 64).alias("n")).collect()
+    }
+    assert counts == {0: 1, 1: 2, 2: 0, 3: 0, 4: 1, 5: 3}
+
+
+def test_tfidf_top_terms_basic(spark):
+    """Rare term outranks ubiquitous term; k bounds output; ties by term."""
+    from instructionspipe_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "common common common rare"),
+            (1, "common stuff here"),
+            (2, "common things there"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["tfidf"]))
+    top0 = sorted(by_doc[0])
+    # 'rare' (df=1) must beat 'common' (df=3) despite tf 1 vs 3:
+    # 3*ln(4/4)=0 < 1*ln(4/2)
+    assert top0[0][1] == "rare" and top0[0][2] > 0
+    assert top0[1][1] == "common" and top0[1][2] == 0.0
+    assert all(len(v) <= 2 for v in by_doc.values())
