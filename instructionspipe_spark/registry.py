@@ -889,6 +889,65 @@ def jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_components_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per_band = num_perm // bands
+    band_exprs = ", ".join(
+        f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.__shingles, sb.__shingles)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sa.__shingles, sb.__shingles)))"
+    )
+    return (
+        "WITH RECURSIVE" + _minhash_base_cte(num_perm) + f""",
+    banded AS (
+        SELECT doc_id, u.b AS band_idx, u.h AS band_hash
+        FROM sig, UNNEST([{band_exprs}]) AS t(u)
+    ),
+    cand AS (
+        SELECT DISTINCT m.min_id AS id_a, a.doc_id AS id_b
+        FROM banded a
+        JOIN (SELECT band_idx, band_hash, MIN(doc_id) AS min_id
+              FROM banded GROUP BY band_idx, band_hash) m
+          ON a.band_idx = m.band_idx AND a.band_hash = m.band_hash
+         AND a.doc_id > m.min_id
+    ),
+    edges AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE {jac} >= {threshold!r}
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b, id_a FROM edges
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+    """
+    )
+
+
+@query("near_dup_components", oracle=_near_dup_components_oracle())
+def near_dup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup cluster ids: LSH-verified pair graph -> min-label
+    connected components (operators/graph.py), corpus left-joined back so
+    singletons label themselves. The iterative loop touches only the
+    bounded pair graph; oracle = recursive-CTE min-reachable-label."""
+    from instructionspipe_spark.operators.graph import near_dup_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = near_dup_components(documents, "doc_id", "text", num_perm=16, bands=4, threshold=0.5)
+    return out.select("doc_id", "component")
+
+
 # ---------------------------------------------------------------------------
 # North-star: embeddings — near-dup + similarity search
 # ---------------------------------------------------------------------------

@@ -671,3 +671,42 @@ def test_tfidf_top_terms_basic(spark):
     assert top0[0][1] == "rare" and top0[0][2] > 0
     assert top0[1][1] == "common" and top0[1][2] == 0.0
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_connected_components_basic(spark):
+    """Two components + transitive chaining + determinism (min-id label)."""
+    from instructionspipe_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (3, 4)], ["src", "dst"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph needs diameter sweeps; a tight max_iter must raise, not
+    silently return wrong labels."""
+    import pytest
+
+    from instructionspipe_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, "src", "dst", max_iter=3)
+    # and with enough sweeps the same graph collapses to one component
+    got = {r["node"]: r["component"] for r in connected_components(path, "src", "dst").collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_near_dup_components_singletons(spark):
+    """Docs with no near-dups label themselves; duplicates share min id."""
+    from instructionspipe_spark.operators.graph import near_dup_components
+
+    text = "a long enough shared boilerplate passage for reliable minhash signatures"
+    df = spark.createDataFrame(
+        [(10, text), (11, text), (12, "completely different content about oceans and tides")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["component"] for r in near_dup_components(df, "doc_id", "text").collect()}
+    assert got[10] == 10 and got[11] == 10 and got[12] == 12
