@@ -58,6 +58,11 @@ from instructionspipe_spark.operators.textstats import (  # noqa: F401
     tfidf_top_terms,
     token_count,
     token_count_bpe,
+    unigram_doc_logprob,
+)
+from instructionspipe_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    near_dup_components,
 )
 from instructionspipe_spark.operators.chunking import (  # noqa: F401
     chunk_count,

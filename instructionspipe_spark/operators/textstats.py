@@ -245,6 +245,39 @@ def tfidf_top_terms(
     )
 
 
+def unigram_doc_logprob(
+    df: DataFrame, id_col: str, text_col: str, round_digits: int = 6
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram distribution (add-one smoothing) — the classic cheap
+    language-model quality signal: gibberish and boilerplate-free outlier
+    documents score far below the corpus mode, without training anything.
+    Plan: tokens -> term counts (one shuffle, map-side partials) -> 1-row
+    totals broadcast -> token stream joins the vocabulary-sized frequency
+    table (AQE) -> per-doc mean (second partial agg). Docs with no tokens
+    are absent from the output (no synthetic score)."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    toks = df.select(F.col(id_col), F.explode(_lower_tokens(F.col(text_col))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__tc"))
+    totals = freq.agg(
+        F.sum("__tc").alias("__n_tokens"), F.count(F.lit(1)).alias("__vocab")
+    )
+    logp = F.log(
+        (F.col("__tc") + F.lit(1.0)) / (F.col("__n_tokens") + F.col("__vocab").cast("double"))
+    )
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(logp), round_digits).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 def token_count_bpe(text_col, merges: list[list[str]] | None = None) -> Column:
     """F17 exact token counting via the self-contained BPE tokenizer
     (``functions/bpe.py``; vendored merge-table fixture by default) as an

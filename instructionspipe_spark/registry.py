@@ -3530,6 +3530,29 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.tfidf_top_terms(documents, "doc_id", "text", k=5)
 
 
+@query(
+    "unigram_doc_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TFIDF_TOKS_SQL}) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
+    totals AS (SELECT SUM(tc) AS n_tokens, COUNT(*) AS vocab FROM freq)
+    SELECT t.doc_id,
+           ROUND(AVG(ln((f.tc + 1.0) / (tot.n_tokens + CAST(tot.vocab AS DOUBLE)))), 6) AS mean_logprob,
+           COUNT(*) AS n_tokens
+    FROM toks t JOIN freq f USING (term), totals tot
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_doc_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM quality score: per-doc mean token
+    log-probability with add-one smoothing (operators/textstats.py) —
+    gibberish outliers score far below the corpus mode with zero training."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.unigram_doc_logprob(documents, "doc_id", "text")
+
+
 _STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "zh": 0.1}
 _STRATA_DEFAULT = 0.05
 _STRATA_SEED = 13

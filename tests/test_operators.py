@@ -710,3 +710,20 @@ def test_near_dup_components_singletons(spark):
     )
     got = {r["doc_id"]: r["component"] for r in near_dup_components(df, "doc_id", "text").collect()}
     assert got[10] == 10 and got[11] == 10 and got[12] == 12
+
+
+def test_unigram_doc_logprob_ranks_gibberish_low(spark):
+    from instructionspipe_spark.operators.textstats import unigram_doc_logprob
+
+    common = "the cat sat on the mat and the dog sat too"
+    df = spark.createDataFrame(
+        [(0, common), (1, common), (2, common), (3, "zxqvw kjhgf poiuy qwert"), (4, ""), (5, None)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in unigram_doc_logprob(df, "doc_id", "text").collect()}
+    # gibberish (all hapax tokens) must score strictly below the common docs
+    assert rows[3]["mean_logprob"] < rows[0]["mean_logprob"]
+    assert rows[0]["mean_logprob"] == rows[1]["mean_logprob"] == rows[2]["mean_logprob"]
+    # token-less docs are absent, not scored
+    assert 4 not in rows and 5 not in rows
+    assert rows[0]["n_tokens"] == 11
