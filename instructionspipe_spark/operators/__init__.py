@@ -27,6 +27,7 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     embedding_near_dup,
     contamination_screen,
+    cross_corpus_near_dups,
     word_ngram_hash_ids,
 )
 from instructionspipe_spark.operators.sampling import (  # noqa: F401

@@ -340,16 +340,39 @@ def minhash_lsh_candidates(
     return _sig_band_pairs(with_sig, bands, num_perm // bands)
 
 
+def _banded_frame(with_sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(__id, __band_idx, __band_hash) — one row per (doc, band). Stage
+    order matters: explode the cheap band INDEX, then hash the signature
+    slice per exploded row (exploding a precomputed band-hash array would
+    put the nested lambda under Generate, interpreted, ~5x slower).
+    NULL-signature rows (no shingles) are dropped: they never pair."""
+    exploded = with_sig.select(
+        "__id", "__sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band_idx")
+    )
+    return exploded.select(
+        "__id",
+        "__band_idx",
+        F.md5(
+            F.concat(
+                F.col("__band_idx").cast("string"),
+                F.lit("|"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("__sig"), F.col("__band_idx") * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ).alias("__band_hash"),
+    ).filter(F.col("__band_hash").isNotNull())
+
+
 def _sig_band_pairs(
     with_sig: DataFrame, bands: int, rows_per_band: int, distinct: bool = True
 ) -> DataFrame:
-    """Bucket-representative candidate pairs from an (__id, __sig) frame.
-
-    Stage order matters: the (expensive) signature is already a column;
-    explode the cheap band INDEX, then hash the signature slice per exploded
-    row. Exploding a precomputed band-hash array instead puts the whole
-    nested-lambda expression under Generate, which evaluates interpreted
-    (no codegen) — measured ~5x slower.
+    """Bucket-representative candidate pairs from an (__id, __sig) frame
+    (banding/stage-order rationale: _banded_frame).
 
     ``distinct=False`` skips the pair dedup exchange: callers whose
     downstream already collapses duplicates (the dedup operators distinct
@@ -366,27 +389,7 @@ def _sig_band_pairs(
     # ~num_perm ints/doc, orders of magnitude smaller than the text, so this
     # persists fine at corpus scale (MEMORY_AND_DISK default).
     with_sig = managed_persist(with_sig)
-    exploded = with_sig.select(
-        "__id", "__sig", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band_idx")
-    )
-    banded = exploded.select(
-        "__id",
-        "__band_idx",
-        F.md5(
-            F.concat(
-                F.col("__band_idx").cast("string"),
-                F.lit("|"),
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("__sig"), F.col("__band_idx") * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                    ",",
-                ),
-            )
-        ).alias("__band_hash"),
-    )
-    banded = banded.filter(F.col("__band_hash").isNotNull())  # NULL-signature rows never pair
+    banded = _banded_frame(with_sig, bands, rows_per_band)
     # Two-phase min, NOT a window: Window.partitionBy(band, hash) puts every
     # row of a hot bucket on ONE task — a boilerplate-heavy corpus with
     # millions of identical signatures makes that a straggler no AQE can
@@ -462,6 +465,68 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+def cross_corpus_near_dups(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Fuzzy decontamination: (corpus_id, eval_id, jaccard) for every
+    corpus row whose text is a MinHash near-duplicate (``jaccard >=
+    threshold``) of an eval/benchmark row — the fuzzy complement of the
+    exact n-gram ``contamination_screen`` (which misses lightly edited or
+    truncated contamination).
+
+    Scale contract mirrors contamination_screen: the eval side is SMALL
+    (benchmarks are thousands of rows, the corpus is billions), so its
+    banded frame broadcasts and the corpus streams through one equi-join on
+    (band_idx, band_hash) — candidates only ACROSS sides, never the
+    corpus-vs-corpus pair explosion. Verification is one Arrow jaccard per
+    candidate, bounded by the true contamination count."""
+    eval_id_col = eval_id_col or id_col
+    eval_text_col = eval_text_col or text_col
+    from instructionspipe_spark.session import ensure_parallelism, managed_persist
+
+    rows_per_band = num_perm // bands
+
+    def side_banded(df: DataFrame, idc: str, txtc: str, persist: bool) -> DataFrame:
+        sig = minhash_signature(F.col(txtc), num_perm=num_perm, ngram=ngram, engine=engine)
+        with_sig = df.select(F.col(idc).alias("__id"), sig.alias("__sig"))
+        if persist:
+            with_sig = managed_persist(with_sig)
+        return _banded_frame(with_sig, bands, rows_per_band)
+
+    corpus = ensure_parallelism(corpus)
+    cb = side_banded(corpus, id_col, text_col, persist=False)  # streams once
+    eb = side_banded(eval_df, eval_id_col, eval_text_col, persist=True).select(
+        F.col("__id").alias("__eval_id"), "__band_idx", "__band_hash"
+    )
+    pairs = (
+        cb.join(F.broadcast(eb), ["__band_idx", "__band_hash"])
+        .select(F.col("__id").alias("corpus_id"), F.col("__eval_id").alias("eval_id"))
+        .distinct()
+    )
+    nrm_c = corpus.select(F.col(id_col).alias("corpus_id"), shingle_normalize(F.col(text_col)).alias("__nc"))
+    nrm_e = eval_df.select(F.col(eval_id_col).alias("eval_id"), shingle_normalize(F.col(eval_text_col)).alias("__ne"))
+    return (
+        pairs.join(nrm_c, "corpus_id")
+        .join(F.broadcast(nrm_e), "eval_id")
+        .select(
+            "corpus_id",
+            "eval_id",
+            F.round(_jaccard_kernel(ngram)(F.col("__nc"), F.col("__ne")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
 
 def simhash(text: Column, bits: int = 32, ngram: int = 3, engine: str = "arrow") -> Column:
     """SimHash fingerprint as a BIGINT built from ``bits`` bit-votes.

@@ -889,6 +889,64 @@ def jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XC_OFFSET = 10_000_000  # eval ids live above this in the shared sig CTE
+
+
+def _cross_corpus_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per_band = num_perm // bands
+    band_exprs = ", ".join(
+        f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sc.__shingles, se.__shingles)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sc.__shingles, se.__shingles)))"
+    )
+    return (
+        f"""WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_XC_OFFSET}, substr(text, 1, (length(text) * 4) // 5)
+        FROM documents WHERE doc_id % 17 = 0
+    ),"""
+        + _minhash_base_cte(num_perm, source="src")
+        + f""",
+    banded AS (
+        SELECT doc_id, u.b AS band_idx, u.h AS band_hash
+        FROM sig, UNNEST([{band_exprs}]) AS t(u)
+    ),
+    pairs AS (
+        SELECT DISTINCT c.doc_id AS corpus_id, e.doc_id - {_XC_OFFSET} AS eval_id
+        FROM banded c
+        JOIN banded e ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash
+        WHERE c.doc_id < {_XC_OFFSET} AND e.doc_id >= {_XC_OFFSET}
+    )
+    SELECT p.corpus_id, p.eval_id, ROUND({jac}, 6) AS jaccard
+    FROM pairs p
+    JOIN sh sc ON sc.doc_id = p.corpus_id
+    JOIN sh se ON se.doc_id = p.eval_id + {_XC_OFFSET}
+    WHERE ROUND({jac}, 6) >= {threshold!r}
+    """
+    )
+
+
+@query("cross_corpus_near_dups", oracle=_cross_corpus_oracle())
+def cross_corpus_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators/dedup.py:cross_corpus_near_dups):
+    corpus rows MinHash-near-duplicate to a (synthesized) eval set of
+    80%-prefix truncations — the lightly-edited contamination the exact
+    n-gram contamination_screen misses. Eval side broadcasts; corpus
+    streams one band equi-join."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    ev = documents.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr("substring(text, 1, (length(text) * 4) div 5)").alias("eval_text"),
+    )
+    return ops.cross_corpus_near_dups(
+        documents, ev, "doc_id", "text", "eval_id", "eval_text", threshold=0.5
+    )
+
+
 def _near_dup_components_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     rows_per_band = num_perm // bands
     band_exprs = ", ".join(

@@ -727,3 +727,20 @@ def test_unigram_doc_logprob_ranks_gibberish_low(spark):
     # token-less docs are absent, not scored
     assert 4 not in rows and 5 not in rows
     assert rows[0]["n_tokens"] == 11
+
+
+def test_cross_corpus_near_dups_fuzzy(spark):
+    """Lightly edited contamination matches; unrelated text doesn't."""
+    from instructionspipe_spark.operators.dedup import cross_corpus_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank again and again"
+    corpus = spark.createDataFrame(
+        [(0, base + " with a small trailing edit"), (1, "entirely unrelated text about spacecraft telemetry systems")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, base)], ["eval_id", "eval_text"])
+    rows = cross_corpus_near_dups(
+        corpus, ev, "doc_id", "text", "eval_id", "eval_text", threshold=0.5
+    ).collect()
+    assert [(r["corpus_id"], r["eval_id"]) for r in rows] == [(0, 100)]
+    assert 0.5 <= rows[0]["jaccard"] < 1.0
