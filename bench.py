@@ -70,6 +70,13 @@ BENCH_QUERIES = [
     "bpe_token_counts",
     "constrained_json_parse",
     "grpo_reward_advantage",
+    "document_chunks",
+    "tfidf_top_terms",
+    "unigram_doc_logprob",
+    "cross_corpus_near_dups",
+    # near_dup_components is deliberately NOT benched: its driver-side
+    # iterative loop runs actions at BUILD time, so a noop-sink timing of
+    # the final frame would measure only the last join, not the algorithm.
 ]
 
 
