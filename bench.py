@@ -171,6 +171,124 @@ def _iqr(xs: list[float]) -> float:
     return q(0.75) - q(0.25)
 
 
+def bench_skew() -> int:
+    """Measure what the round-4 de-skew bought: time LSH near-dedup on a
+    synthetic corpus at increasing boilerplate fractions, comparing the
+    SHIPPED two-phase representative selection (groupBy partial-agg +
+    join-back) against the pre-r4 window formulation
+    (Window.partitionBy(band, hash) min — rebuilt here for measurement
+    only). The window puts every row of the hot bucket on ONE task, so its
+    cost grows with the skewed fraction while the two-phase path stays
+    flat. Writes SKEW.md."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark import get_spark
+    from instructionspipe_spark.operators.dedup import (
+        _banded_frame,
+        minhash_signature,
+    )
+    from instructionspipe_spark.registry import release_persisted
+    from instructionspipe_spark.session import ensure_parallelism
+
+    spark = get_spark(app_name="instructionspipe-spark-skew")
+    n = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "200000"))
+    bands, rows_per_band = 4, 4
+
+    def corpus(frac_identical: float):
+        pct = int(frac_identical * 100)
+        boiler = "identical boilerplate header repeated verbatim across this corpus " * 4
+        return ensure_parallelism(
+            spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 100 < pct, F.lit(boiler))
+                .otherwise(
+                    F.concat(
+                        F.lit("unique payload "),
+                        F.md5(F.col("id").cast("string")),
+                        F.lit(" "),
+                        F.md5((F.col("id") + 7919).cast("string")),
+                    )
+                )
+                .alias("text"),
+            )
+        )
+
+    def pairs_two_phase(with_sig):
+        # Mirrors the SHIPPED _sig_band_pairs: banded persisted, two-phase min.
+        banded = _banded_frame(with_sig, bands, rows_per_band).persist()
+        reps = banded.groupBy("__band_idx", "__band_hash").agg(F.min("__id").alias("__min_id"))
+        return banded, (
+            banded.join(reps, ["__band_idx", "__band_hash"])
+            .filter(F.col("__id") > F.col("__min_id"))
+            .select(F.col("__min_id").alias("id_a"), F.col("__id").alias("id_b"))
+        )
+
+    def pairs_window(with_sig):
+        # Pre-round-4 formulation (single consumer: no persist needed).
+        banded = _banded_frame(with_sig, bands, rows_per_band)
+        w = Window.partitionBy("__band_idx", "__band_hash")
+        return None, (
+            banded.withColumn("__min_id", F.min("__id").over(w))
+            .filter(F.col("__id") > F.col("__min_id"))
+            .select(F.col("__min_id").alias("id_a"), F.col("__id").alias("id_b"))
+        )
+
+    def run(frac: float, strategy) -> float:
+        df = corpus(frac)
+        sig = minhash_signature(F.col("text"), num_perm=bands * rows_per_band)
+        with_sig = df.select(F.col("doc_id").alias("__id"), sig.alias("__sig")).persist()
+        cached, pairs = strategy(with_sig)
+        # count the LOSER set (what dedup consumes) — forces the full pair path
+        q = pairs.select("id_b").distinct()
+        q.count()  # warm (populates caches so both strategies time warm-cache plans)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            q.count()
+            runs.append(time.time() - t0)
+        with_sig.unpersist(blocking=False)
+        if cached is not None:
+            cached.unpersist(blocking=False)
+        release_persisted()
+        return _median(runs)
+
+    results = []
+    for frac in (0.0, 0.5, 0.9):
+        t_two = run(frac, pairs_two_phase)
+        t_win = run(frac, pairs_window)
+        results.append((frac, t_two, t_win))
+        print(f"# frac={frac}: two-phase {t_two:.2f}s  window {t_win:.2f}s", file=sys.stderr)
+
+    lines = [
+        "# SKEW — representative-selection A/B under adversarial skew",
+        "",
+        f"{n} synthetic docs, boilerplate fraction as listed (all boilerplate rows",
+        "share ONE text, i.e. one LSH bucket per band holds frac*n identical",
+        "signatures). Median-of-3 warm counts of the distinct loser-id set,",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]. `two_phase` is the shipped path",
+        "(operators/dedup.py:_sig_band_pairs: groupBy partial-agg + AQE-splittable",
+        "join-back); `window` is the pre-round-4 Window.partitionBy(band, hash)",
+        "formulation, rebuilt here for measurement only — its hot bucket lands on",
+        "a single task, so its cost scales with the skewed fraction while the",
+        "two-phase map-side partial collapses the bucket before the exchange.",
+        "Regenerate with `python bench.py --skew`.",
+        "",
+        "| identical frac | two_phase s | window s | window/two_phase |",
+        "|---|---|---|---|",
+    ]
+    for frac, t_two, t_win in results:
+        ratio = round(t_win / t_two, 2) if t_two else float("nan")
+        lines.append(f"| {frac} | {round(t_two, 2)} | {round(t_win, 2)} | {ratio}x |")
+    lines.append("")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SKEW.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({"metric": "skew_ab", "rows": n, "results": [
+        {"frac": f, "two_phase": round(a, 3), "window": round(b, 3)} for f, a, b in results
+    ]}))
+    return 0
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from instructionspipe_spark import get_spark
@@ -276,4 +394,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(bench_engines() if "--engines" in sys.argv[1:] else main())
+    if "--engines" in sys.argv[1:]:
+        raise SystemExit(bench_engines())
+    if "--skew" in sys.argv[1:]:
+        raise SystemExit(bench_skew())
+    raise SystemExit(main())

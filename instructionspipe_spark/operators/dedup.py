@@ -383,13 +383,13 @@ def _sig_band_pairs(
     from instructionspipe_spark.session import managed_persist
 
     # The two-phase representative min below reads the banded frame TWICE
-    # (groupBy branch + join-back branch). Persist the signature frame so the
-    # Arrow minhash kernel — the dominant per-row cost — runs once; the
-    # explode+md5 re-derivation per branch is cheap codegen. Signatures are
-    # ~num_perm ints/doc, orders of magnitude smaller than the text, so this
-    # persists fine at corpus scale (MEMORY_AND_DISK default).
-    with_sig = managed_persist(with_sig)
-    banded = _banded_frame(with_sig, bands, rows_per_band)
+    # (groupBy branch + join-back branch). Persist BANDED, not just the
+    # signature frame: re-deriving banded per branch re-runs the explode +
+    # per-row md5 over docs x bands rows, which the skew A/B (SKEW.md)
+    # measured as the bulk of the two-phase constant factor. Banded is
+    # narrow — (id, band_idx, 32-char hash) ~60 B/row — so caching it costs
+    # far less than the corpus text it came from (MEMORY_AND_DISK default).
+    banded = managed_persist(_banded_frame(with_sig, bands, rows_per_band))
     # Two-phase min, NOT a window: Window.partitionBy(band, hash) puts every
     # row of a hot bucket on ONE task — a boilerplate-heavy corpus with
     # millions of identical signatures makes that a straggler no AQE can
@@ -772,7 +772,9 @@ def simhash_near_dedup(
     bits_per_band = bits // bands
     # Persisted: the two-phase representative min reads the banded frame
     # twice (groupBy + join-back); caching (id, fp) — 16 bytes/doc — keeps
-    # the simhash kernel single-pass.
+    # the simhash kernel single-pass. (Unlike the minhash path, banding
+    # here is a bit-shift per row, so persisting dfp rather than the
+    # bands-times-larger banded frame is the right trade.)
     dfp = managed_persist(
         ensure_parallelism(df).select(
             F.col(id_col).alias("__id"),
