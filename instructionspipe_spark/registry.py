@@ -947,7 +947,9 @@ def cross_corpus_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_components_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _near_dup_components_ctes(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Shared WITH-RECURSIVE prefix ending in ``comp(doc_id, component)`` —
+    used by the clustering query and the cluster-survivor composition."""
     rows_per_band = num_perm // bands
     band_exprs = ", ".join(
         f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
@@ -987,10 +989,17 @@ def _near_dup_components_oracle(num_perm: int = 16, bands: int = 4, threshold: f
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+    )"""
     )
-    SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+
+
+def _near_dup_components_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return _near_dup_components_ctes(num_perm, bands, threshold) + """
+    SELECT doc_id, component FROM comp
     """
-    )
 
 
 @query("near_dup_components", oracle=_near_dup_components_oracle())
@@ -1221,6 +1230,53 @@ def _quality_sql() -> str:
                      OR CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / length(text) <= 0.2
                     THEN 1.0 ELSE 0.0 END)
             + (CASE WHEN {best} > 0 THEN 1.0 ELSE 0.0 END)) / 4.0"""
+
+
+def _cluster_best_survivor_oracle() -> str:
+    return (
+        _near_dup_components_ctes()
+        + rf""",
+    tq AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g')), '\s+'), t -> t <> '') AS __toks,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS __words
+        FROM documents
+    ),
+    q AS (SELECT doc_id, ROUND({_quality_sql()}, 6) AS quality FROM tq),
+    joined AS (
+        SELECT c.doc_id, c.component, q.quality FROM comp c JOIN q USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+        FROM joined
+    )
+    SELECT doc_id, component, quality FROM ranked WHERE rn = 1
+    """
+    )
+
+
+@query("cluster_best_survivor", oracle=_cluster_best_survivor_oracle())
+def cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware survivor election — the payoff of near-dup CLUSTERING
+    over pairwise dedup: per near-dup component keep the HIGHEST-QUALITY
+    document (min-id tiebreak), not blindly the min id. Composition:
+    near_dup_components (bounded pair-graph loop) -> quality_score (pure
+    expression) -> per-component top-1 window (partitions bounded by
+    cluster size)."""
+    from instructionspipe_spark.operators.graph import near_dup_components
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    comp = near_dup_components(documents, "doc_id", "text", num_perm=16, bands=4, threshold=0.5)
+    scored = comp.select(
+        "doc_id", "component", F.round(ops.quality_score(F.col("text")), 6).alias("quality")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "quality")
+    )
+
 
 
 def _weighted_sample_oracle(n: int = 20, seed: int = 7) -> str:
