@@ -75,3 +75,27 @@ def test_bad_requests(served):
     assert status == 404
     status, body = _get(base + "/nope")
     assert status == 404
+
+
+def test_concurrent_requests(served):
+    """ThreadingHTTPServer dispatches each request on its own thread; Spark
+    supports concurrent driver actions — 8 parallel one-record runs must all
+    succeed and be per-record correct."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _service, base = served
+
+    def one(i: int):
+        status, body = _post(
+            base + "/pipeline/run",
+            {"doc_id": i, "text": f"document number {i} about rivers", "lang": "en"},
+        )
+        return status, body
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(8)))
+    assert all(status == 200 for status, _ in results)
+    assert [body["doc_id"] for _, body in results] == list(range(8))
+    # deterministic MockLlm: same text -> same summary; distinct texts differ
+    summaries = {body["summary"] for _, body in results}
+    assert len(summaries) == 8
