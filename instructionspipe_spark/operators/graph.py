@@ -30,6 +30,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame (its analyzed plan is a LogicalRDD over the persisted,
+    lineage-truncated RDD — ``DataFrame.unpersist`` doesn't reach it).
+    The frame is UNREADABLE afterwards: lineage was truncated, so only call
+    on frames no plan will touch again."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # freeing cache is best-effort; never fail the algorithm for it
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -82,9 +94,17 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # The sweep's count() has completed, so the PREVIOUS labels
+        # checkpoint is dead — free its blocks now, or block-manager memory
+        # grows linearly with sweeps (max_iter x label-frame size).
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            _free_local_checkpoint(sym)
+            # labels itself stays cached: it IS the result the caller reads.
             return labels.select("node", F.col("label").alias("component"))
+    _free_local_checkpoint(sym)
+    _free_local_checkpoint(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} sweeps "
         "(graph diameter too large — use the large-star/small-star variant)"

@@ -107,7 +107,13 @@ class AsyncKernelLlm(LlmClient):
                 try:
                     pdf[out_col] = loop.run_until_complete(run_batch(list(pdf[prompt_col])))
                 finally:
-                    loop.close()
+                    try:
+                        # The stdlib-HTTP transport posts via the loop's
+                        # default executor; drain its threads per batch so
+                        # reused Python workers never accumulate pools.
+                        loop.run_until_complete(loop.shutdown_default_executor())
+                    finally:
+                        loop.close()
                 yield pdf
 
         return df.mapInPandas(kernel, schema=out_schema)
@@ -138,11 +144,18 @@ class EchoAsyncLlm(AsyncKernelLlm):
 
 @dataclass(frozen=True)
 class OpenAiLlm(AsyncKernelLlm):
-    """Async OpenAI-compatible client kernel (gated: requires ``openai``).
+    """Async OpenAI-compatible client kernel.
 
     Parameters mirror the reference client (``llm_cli.py:31-62``): base_url /
     api_key from env, seed, temperature, top_p, max_tokens; plus kernel knobs
     (max_concurrency per batch, retry budget).
+
+    Transport is pluggable per worker: the ``openai`` SDK when importable,
+    else a stdlib ``urllib`` client speaking the same chat-completions wire
+    format (POSTs run on the event loop's default executor, concurrency
+    still bounded by the kernel semaphore, threads drained per batch) — so
+    the live path has no hard SDK dependency and is exercisable against any
+    OpenAI-compatible HTTP endpoint in any environment.
     """
 
     model: str = "gpt-4o-mini"
@@ -163,14 +176,55 @@ class OpenAiLlm(AsyncKernelLlm):
     #: for the declared-schema parse stage.
     response_format_json: str | None = None
 
+    def _make_sender(self):
+        """``async (payload: dict) -> (finish_reason, content)`` over the
+        chat-completions wire format — SDK when present, stdlib otherwise."""
+        import json as _json
+
+        api_key = os.environ.get(self.api_key_env, "EMPTY")
+        try:
+            import openai
+        except ImportError:
+            openai = None
+
+        if openai is not None:
+            client = openai.AsyncOpenAI(base_url=self.base_url, api_key=api_key)
+
+            async def send(payload: dict):
+                resp = await client.chat.completions.create(**payload)
+                choice = resp.choices[0]
+                return choice.finish_reason, choice.message.content
+
+            return send
+
+        import asyncio
+        import urllib.request
+
+        url = (self.base_url or "https://api.openai.com/v1").rstrip("/") + "/chat/completions"
+
+        def post(payload: dict) -> dict:
+            req = urllib.request.Request(
+                url,
+                data=_json.dumps(payload).encode("utf-8"),
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": f"Bearer {api_key}",
+                },
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return _json.loads(r.read().decode("utf-8"))
+
+        async def send(payload: dict):
+            data = await asyncio.get_running_loop().run_in_executor(None, post, payload)
+            choice = data["choices"][0]
+            return choice.get("finish_reason"), (choice.get("message") or {}).get("content")
+
+        return send
+
     def _make_completer(self):
         import json as _json
 
-        import openai
-
-        client = openai.AsyncOpenAI(
-            base_url=self.base_url, api_key=os.environ.get(self.api_key_env, "EMPTY")
-        )
+        send = self._make_sender()
         model = self.model
         temperature = self.temperature
         top_p = self.top_p
@@ -183,23 +237,24 @@ class OpenAiLlm(AsyncKernelLlm):
 
         async def one(prompt: str) -> str | None:
             temp, freq = temperature, 0.0
-            extra = {"response_format": response_format} if response_format else {}
+            content = None
             for _ in range(length_retries + 1):
-                resp = await client.chat.completions.create(
-                    model=model,
-                    messages=[{"role": "user", "content": prompt}],
-                    temperature=temp,
-                    top_p=top_p,
-                    seed=seed,
-                    max_tokens=max_tokens,
-                    frequency_penalty=freq,
-                    **extra,
-                )
-                choice = resp.choices[0]
-                if choice.finish_reason != "length":
-                    return choice.message.content
+                payload = {
+                    "model": model,
+                    "messages": [{"role": "user", "content": prompt}],
+                    "temperature": temp,
+                    "top_p": top_p,
+                    "seed": seed,
+                    "max_tokens": max_tokens,
+                    "frequency_penalty": freq,
+                }
+                if response_format:
+                    payload["response_format"] = response_format
+                finish_reason, content = await send(payload)
+                if finish_reason != "length":
+                    return content
                 # reference's escalation on truncation (llm_cli.py:123-135)
                 temp, freq = 1.0, 0.2
-            return choice.message.content
+            return content
 
         return one

@@ -16,6 +16,7 @@ Contracts this file enforces everywhere:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1106,9 +1107,29 @@ def token_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_token_counts")  # no SQL oracle: BPE merges aren't SQL-expressible;
-# correctness is locked by tests/test_functions.py (UDF counts == driver-side
-# BpeTokenizer counts, plus encode/count unit cases) — driver records rows-only.
+# The BPE merge loop isn't expressible in one DuckDB query, but the tokenizer
+# is deterministic — so the oracle joins against a PRECOMPUTED expected-counts
+# fixture (tools/build_bpe_expected.py runs the same driver-side BpeTokenizer
+# the UDF ships to workers). Keyed by md5(text) — identical hex-over-UTF-8
+# semantics in DuckDB and hashlib — so one fixture covers every scale factor.
+# LEFT JOIN + COALESCE(0) mirrors count(None) == 0; a text missing from the
+# fixture surfaces as a hash MISMATCH (never a silently dropped row).
+_BPE_EXPECTED_PARQUET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "bpe_expected.parquet",
+)
+
+
+@query(
+    "bpe_token_counts",
+    oracle=f"""
+    SELECT d.doc_id, COALESCE(f.n_tokens_bpe, 0) AS n_tokens_bpe
+    FROM documents d
+    LEFT JOIN read_parquet('{_BPE_EXPECTED_PARQUET}') f
+      ON md5(d.text) = f.text_md5
+    """,
+)
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17 exact tokenization end-to-end via the self-contained BPE path
     (vendored merge table, iterator pandas UDF loading the tokenizer once

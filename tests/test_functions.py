@@ -201,6 +201,31 @@ def test_bpe_fixture_udf_matches_driver(spark):
     assert got == want and len(got) == 50
 
 
+def test_bpe_expected_fixture_in_sync():
+    """fixtures/bpe_expected.parquet (the bpe_token_counts hash oracle) must
+    match what BpeTokenizer.fixture() computes today — catches a merge-table
+    edit without a `python tools/build_bpe_expected.py` regeneration."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from instructionspipe_spark.functions.bpe import BpeTokenizer
+    from instructionspipe_spark.registry import _BPE_EXPECTED_PARQUET
+
+    expected = {
+        r["text_md5"]: r["n_tokens_bpe"]
+        for r in pq.read_table(_BPE_EXPECTED_PARQUET).to_pylist()
+    }
+    tok = BpeTokenizer.fixture()
+    for sf in ("sf0.001", "sf0.01"):
+        path = os.path.join("/root/testdata", sf, "documents.parquet")
+        texts = pq.read_table(path, columns=["text"]).column("text").to_pylist()
+        for text in texts:
+            key = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+            assert expected.get(key) == tok.count(text), f"stale fixture for {sf} text {key}"
+
+
 def test_bpe_udf_edge_rows(spark):
     from instructionspipe_spark.operators.textstats import token_count_bpe
 

@@ -1,0 +1,192 @@
+"""Live-wire tests for OpenAiLlm (SURVEY.md L4/L5): an in-process stdlib
+HTTP server speaking the chat-completions wire format, driven through the
+REAL mapInPandas kernel from Spark workers over localhost — the seam the
+record-replay tests (test_async_kernel.py) can't cover: serialization of
+the client to workers, the stdlib urllib transport, the event-loop executor
+lifecycle, and the cache-table interplay against a real endpoint."""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _answer(prompt: str) -> str:
+    return "ans:" + hashlib.md5(prompt.encode()).hexdigest()
+
+
+class _ChatServer(ThreadingHTTPServer):
+    """Chat-completions mock with scripted truncation: a prompt starting
+    with 'LENGTH:' gets finish_reason='length' on its FIRST call, 'stop'
+    after. Tracks every request payload and the in-flight high-water mark."""
+
+    daemon_threads = True
+
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.lock = threading.Lock()
+        self.requests: list[dict] = []
+        self.prompt_calls: dict[str, int] = {}
+        self.in_flight = 0
+        self.max_in_flight = 0
+        self.handler_delay = 0.0
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # silence per-request stderr lines
+        pass
+
+    def do_POST(self):
+        srv: _ChatServer = self.server  # type: ignore[assignment]
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        payload = json.loads(body)
+        prompt = payload["messages"][0]["content"]
+        with srv.lock:
+            srv.requests.append(payload)
+            srv.prompt_calls[prompt] = srv.prompt_calls.get(prompt, 0) + 1
+            n_call = srv.prompt_calls[prompt]
+            srv.in_flight += 1
+            srv.max_in_flight = max(srv.max_in_flight, srv.in_flight)
+        try:
+            if srv.handler_delay:
+                time.sleep(srv.handler_delay)
+            truncated = prompt.startswith("LENGTH:") and n_call == 1
+            resp = {
+                "id": "mock",
+                "object": "chat.completion",
+                "model": payload["model"],
+                "choices": [
+                    {
+                        "index": 0,
+                        "finish_reason": "length" if truncated else "stop",
+                        "message": {
+                            "role": "assistant",
+                            "content": "TRUNC" if truncated else _answer(prompt),
+                        },
+                    }
+                ],
+            }
+            data = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        finally:
+            with srv.lock:
+                srv.in_flight -= 1
+
+
+@contextlib.contextmanager
+def _server():
+    srv = _ChatServer()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv, f"http://127.0.0.1:{srv.server_address[1]}/v1"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_live_http_end_to_end_with_concurrency_bound(spark):
+    """40 prompts through one kernel instance (1 partition): every row
+    answered from the wire; in-flight high-water mark proves real fan-out
+    (>1) and respects the semaphore (<= max_concurrency)."""
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    with _server() as (srv, base_url):
+        srv.handler_delay = 0.05  # force request overlap
+        df = spark.createDataFrame(
+            [(i, f"prompt {i}") for i in range(40)], ["id", "p"]
+        ).coalesce(1)
+        llm = OpenAiLlm(model="mock-model", base_url=base_url, max_concurrency=4)
+        got = {r["id"]: r["ans"] for r in llm.complete_df(df, "p", "ans").collect()}
+        assert got == {i: _answer(f"prompt {i}") for i in range(40)}
+        assert len(srv.requests) == 40
+        assert 2 <= srv.max_in_flight <= 4, srv.max_in_flight
+
+
+def test_live_http_retry_ladder_on_wire(spark):
+    """finish_reason='length' from a real endpoint: the retry arrives with
+    temperature=1.0 / frequency_penalty=0.2 (llm_cli.py:123-135 policy),
+    and the row ends with the retried content."""
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    with _server() as (srv, base_url):
+        df = spark.createDataFrame(
+            [(1, "LENGTH:needs-retry"), (2, "plain")], ["id", "p"]
+        ).coalesce(1)
+        llm = OpenAiLlm(model="mock-model", base_url=base_url, temperature=0.0)
+        got = {r["id"]: r["ans"] for r in llm.complete_df(df, "p", "ans").collect()}
+        assert got[1] == _answer("LENGTH:needs-retry") and got[2] == _answer("plain")
+        ladder = [
+            (r["temperature"], r["frequency_penalty"])
+            for r in srv.requests
+            if r["messages"][0]["content"] == "LENGTH:needs-retry"
+        ]
+        assert ladder == [(0.0, 0.0), (1.0, 0.2)]
+
+
+def test_live_http_cache_table_interplay(spark, tmp_path):
+    """cached_llm_call against the live endpoint: duplicate prompts collapse
+    to one wire call; a second run over the same prompts makes ZERO new
+    requests (parquet cache table hit); results stay correct both runs."""
+    from instructionspipe_spark.plans.cache import cached_llm_call
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    cache_path = str(tmp_path / "llm_cache")
+    with _server() as (srv, base_url):
+        llm = OpenAiLlm(model="mock-model", base_url=base_url)
+        df = spark.createDataFrame(
+            [(i, f"q{i % 5}") for i in range(20)], ["id", "p"]
+        ).coalesce(1)
+        out1 = cached_llm_call(df, "p", "ans", llm, cache_path=cache_path)
+        rows1 = {r["id"]: r["ans"] for r in out1.collect()}
+        assert rows1 == {i: _answer(f"q{i % 5}") for i in range(20)}
+        n_after_first = len(srv.requests)
+        assert n_after_first == 5  # 20 rows, 5 distinct prompts, 1 call each
+
+        out2 = cached_llm_call(df, "p", "ans", llm, cache_path=cache_path)
+        rows2 = {r["id"]: r["ans"] for r in out2.collect()}
+        assert rows2 == rows1
+        assert len(srv.requests) == n_after_first  # all served from the table
+
+
+def test_live_http_null_and_empty_prompts_skip_network(spark):
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    with _server() as (srv, base_url):
+        df = spark.createDataFrame(
+            [(1, None), (2, "  "), (3, "real")], "id int, p string"
+        ).coalesce(1)
+        llm = OpenAiLlm(model="mock-model", base_url=base_url)
+        got = {r["id"]: r["ans"] for r in llm.complete_df(df, "p", "ans").collect()}
+        assert got[1] is None and got[2] is None and got[3] == _answer("real")
+        assert len(srv.requests) == 1  # nulls never reach the wire
+
+
+def test_live_http_structured_response_format_on_wire(spark):
+    """L12: the response_format envelope survives pickling to the worker and
+    lands verbatim in the HTTP payload."""
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+    from instructionspipe_spark.plans.structured import response_format_envelope
+
+    env = response_format_envelope(
+        "ans", {"type": "object", "properties": {"a": {"type": "string"}}}
+    )
+    with _server() as (srv, base_url):
+        df = spark.createDataFrame([(1, "structured")], ["id", "p"]).coalesce(1)
+        llm = OpenAiLlm(
+            model="mock-model", base_url=base_url, response_format_json=json.dumps(env)
+        )
+        assert llm.complete_df(df, "p", "ans").count() == 1
+        assert srv.requests[0]["response_format"] == env

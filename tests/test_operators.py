@@ -684,6 +684,21 @@ def test_connected_components_basic(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
 
 
+def test_connected_components_frees_sweep_checkpoints(spark):
+    """Each sweep's dead labels checkpoint is unpersisted: after a
+    multi-sweep run only the RESULT frame's blocks remain cached (plus any
+    pre-existing cache), not one frame per sweep."""
+    from instructionspipe_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    path = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
+    cc = connected_components(path, "src", "dst")  # ~12 sweeps on a path graph
+    assert cc.count() == 13
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 1, f"sweep checkpoints leaked: {after - before} frames cached"
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """A path graph needs diameter sweeps; a tight max_iter must raise, not
     silently return wrong labels."""

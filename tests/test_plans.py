@@ -143,6 +143,40 @@ def test_broadcast_if_small_is_stats_gated(spark, tables):
     assert "ResolvedHint" not in off._jdf.queryExecution().analyzed().toString()
 
 
+def test_decontamination_broadcasts_are_stats_gated(spark, tables):
+    """cross_corpus_near_dups / contamination_screen hint their eval side
+    only while it fits the session broadcast threshold: with the threshold
+    shrunk the hint must disappear (plan degrades to SMJ instead of a
+    driver OOM when the 'small' side stops being small)."""
+    from instructionspipe_spark.operators.dedup import (
+        contamination_screen,
+        cross_corpus_near_dups,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    eval_df = docs.limit(20).select(F.col("doc_id").alias("eval_id"), "text")
+
+    def hinted(df) -> bool:
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(key)
+    try:
+        out = cross_corpus_near_dups(docs, eval_df, "doc_id", "text", "eval_id", "text")
+        assert hinted(out)
+        assert hinted(contamination_screen(docs, eval_df.withColumnRenamed("eval_id", "doc_id")))
+        spark.conf.set(key, "10")  # 10 bytes: nothing qualifies
+        out = cross_corpus_near_dups(docs, eval_df, "doc_id", "text", "eval_id", "text")
+        assert not hinted(out)
+        assert not hinted(
+            contamination_screen(docs, eval_df.withColumnRenamed("eval_id", "doc_id"))
+        )
+    finally:
+        spark.conf.set(key, orig)
+
+
 def test_json_schema_to_spark_nested():
     from pyspark.sql import types as T
 
