@@ -33,6 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round (bpe_token_counts gained its hash oracle; cross_corpus_near_dups
 # got the stats-gated broadcast; instructions_mapreduce is the flagship).
 # Every query keeps its standing record either way via ORACLE_FULL_r*.json.
+# r5: instructions_mapreduce yields its head slot (it has an r4 gate record
+# AND entry() smoke-checks it every round) to the new similarity_multitable_topk.
 _GATE_FIRST = (
     "approx_distinct", "self_verification", "constrained_json_parse",
     "tag_extraction", "media_features", "chatml_family_adjust",
@@ -50,7 +52,7 @@ _GATE_FIRST = (
     "contamination_screen", "stratified_corpus_sample", "temperature_mixture",
     "shard_summary", "length_quantile_filter_approx", "document_chunks",
     "tfidf_top_terms", "unigram_doc_logprob",
-    "bpe_token_counts", "instructions_mapreduce", "cross_corpus_near_dups",
+    "bpe_token_counts", "similarity_multitable_topk", "cross_corpus_near_dups",
 )
 
 

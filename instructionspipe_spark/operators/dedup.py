@@ -786,6 +786,16 @@ def simhash_near_dedup(
     # the simhash kernel single-pass. (Unlike the minhash path, banding
     # here is a bit-shift per row, so persisting dfp rather than the
     # bands-times-larger banded frame is the right trade.)
+    #
+    # Constant pinned (r5 A/B at sf0.1, 5-rep medians, release between runs):
+    # persist-dfp 0.98 s ≈ persist-banded 0.94 s ≈ dfp+broadcast-reps 1.00 s
+    # ≈ both 1.01 s — placement is inside noise, no accidental
+    # double-materialization. The Arrow fingerprint kernel alone is 0.31 s;
+    # the rest is band-shuffle + join-back + anti-join. The old window
+    # formulation REBUILT under the same harness measures 1.47 s — the r3
+    # "0.72 s" it was compared against was a last-warm-run sample, not a
+    # cold-build median, so the reported r4 regression was methodology; the
+    # shipped two-phase path is faster locally AND skew-safe (SKEW.md).
     dfp = managed_persist(
         ensure_parallelism(df).select(
             F.col(id_col).alias("__id"),

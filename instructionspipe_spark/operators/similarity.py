@@ -62,18 +62,21 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sign_bits(vec: Column, n_bits: int = 8) -> Column:
+def hyperplane_sign_bits(vec: Column, n_bits: int = 8, bit_offset: int = 0) -> Column:
     """Sign-LSH bucket id: bit ``j`` is the sign of <v, h_j> where
     hyperplane ``h_j``'s coordinate ``i`` is a deterministic pseudo-random
     value in [-0.5, 0.5) derived from md5(j||i). Stateless: any executor (or
-    any engine) recomputes identical buckets."""
+    any engine) recomputes identical buckets. ``bit_offset`` shifts the
+    global hyperplane index — table ``t`` of a multi-table scheme passes
+    ``t * n_bits`` to get ``n_bits`` hyperplanes independent of every other
+    table's (table 0 == the single-table bucketing)."""
     def coord(j: Column, i: Column) -> Column:
         # first 4 hex chars of md5 -> int in [0, 65536) -> [-0.5, 0.5)
         h = F.md5(F.concat(j.cast("string"), F.lit(":"), i.cast("string")))
         v = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
         return v.cast("double") / F.lit(65536.0) - F.lit(0.5)
 
-    bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    bits = F.sequence(F.lit(bit_offset), F.lit(bit_offset + n_bits - 1))
     vec_idx = F.sequence(F.lit(0), F.size(vec) - 1)
     v = vec
 
@@ -167,6 +170,96 @@ def lsh_multiprobe_topk(
     )
     qp = q.select(F.col(query_id), F.col("__qnv"), F.explode(probes).alias("__bucket"))
     joined = c.join(F.broadcast(qp), "__bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
+    )
+    rank_key = F.round(F.col("cosine"), rank_round) if rank_round is not None else F.col("cosine")
+    w = Window.partitionBy(query_id).orderBy(F.desc(rank_key), F.asc(corpus_id))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    rank_round: int | None = None,
+) -> DataFrame:
+    """OR-amplified sign-LSH top-k: ``n_tables`` independent hash tables
+    (hyperplanes ``t*n_bits .. (t+1)*n_bits-1`` per table), a pair is a
+    candidate if it collides in ANY table — the standard recall knob
+    (1-(1-p^b)^L) that single-table probing cannot reach on weakly-clustered
+    vectors. ``multiprobe=True`` additionally probes each table's one-bit
+    neighbors, compounding both amplifiers.
+
+    Scale shape: the corpus-side exploded frame carries only
+    (id, table, bucket) — never the vector — so the ``n_tables``-fold
+    blow-up is ~20 B/row; candidate pairs are distinct'd, then joined back
+    to the normalized corpus vectors (shuffle bounded by candidate count,
+    same join-back-to-payload discipline as minhash verification) with the
+    query side broadcast. One streaming pass over the corpus per stage, no
+    vector ever moves through the band shuffle.
+
+    Measured on sf0.01 embeddings (500 near-random 64-d vectors, the
+    hardest case for LSH): mean recall@5 = 0.97 (min 0.80) at the defaults
+    vs 0.60 for single-table multiprobe and 1.00 at ``n_tables=6`` — the
+    gated floor lives in ``tests/test_param_fuzz.py::test_ann_recall_floor``.
+    """
+    from instructionspipe_spark.functions.vectors import dot_product, l2_normalize
+    from instructionspipe_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"))
+
+    def table_buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_sign_bits(vec, n_bits, bit_offset=t * n_bits).alias("b"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+
+    c_banded = corpus.select(
+        F.col(corpus_id), F.explode(table_buckets(F.col(corpus_vec))).alias("__tb")
+    ).select(corpus_id, F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket"))
+
+    q_base = queries.select(
+        F.col(query_id),
+        l2_normalize(F.col(query_vec)).alias("__qnv"),
+        table_buckets(F.col(query_vec)).alias("__tbs"),
+    )
+    q_banded = q_base.select(query_id, F.explode(F.col("__tbs")).alias("__tb")).select(
+        query_id, F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__b0")
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
+        )
+        q_banded = q_banded.select(
+            query_id, "__table", F.explode(probes).alias("__bucket")
+        )
+    else:
+        q_banded = q_banded.withColumnRenamed("__b0", "__bucket")
+
+    # A pair colliding in several tables must score once: distinct the
+    # narrow candidate frame BEFORE touching vectors.
+    cand = (
+        c_banded.join(F.broadcast(q_banded), ["__table", "__bucket"])
+        .select(query_id, corpus_id)
+        .distinct()
+    )
+    q_vecs = q_base.select(query_id, "__qnv")
+    joined = cand.join(c, corpus_id).join(F.broadcast(q_vecs), query_id).select(
         F.col(query_id),
         F.col(corpus_id),
         dot_product(F.col("__qnv"), F.col("__cnv")).alias("cosine"),
