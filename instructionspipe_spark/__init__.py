@@ -24,5 +24,11 @@ and no driver-side collect loops in any data path.
 
 __version__ = "0.1.0"
 
-from instructionspipe_spark.session import broadcast_if_small, ensure_parallelism, get_spark  # noqa: F401
+from instructionspipe_spark.session import (  # noqa: F401
+    broadcast_if_small,
+    ensure_parallelism,
+    get_spark,
+    persist_scope,
+    release_persisted,
+)
 from instructionspipe_spark.catalog import load_tables, register_views  # noqa: F401

@@ -331,6 +331,12 @@ def minhash_lsh_candidates(
     persist (__id, __sig) -> posexplode bands -> two-phase min over
     (band_idx, band_hash) (map-side partial agg + AQE-splittable join-back;
     skew-immune, see _sig_band_pairs) -> filter.
+
+    Persist lifecycle: intermediates are cached via
+    ``session.managed_persist`` and freed by the NEXT registry-query build;
+    direct library callers in a long-lived session should wrap calls in
+    ``session.persist_scope()`` (or call ``release_persisted()``) after
+    consuming the result.
     """
     from instructionspipe_spark.session import ensure_parallelism
 
@@ -433,6 +439,12 @@ def minhash_lsh_dedup(
     re-deriving shingle sets inside the Arrow jaccard kernel per pair. The
     pair frame is bounded by the near-duplicate count, so AQE picks a
     broadcast join and the corpus side streams — no wide shuffle at scale.
+
+    Persist lifecycle: intermediates are cached via
+    ``session.managed_persist`` and freed by the NEXT registry-query build;
+    direct library callers in a long-lived session should wrap calls in
+    ``session.persist_scope()`` (or call ``release_persisted()``) after
+    consuming the result.
     """
     from instructionspipe_spark.session import ensure_parallelism
 
@@ -493,7 +505,14 @@ def cross_corpus_near_dups(
     candidate, bounded by the true contamination count. The broadcast is
     STATS-GATED (``broadcast_if_small``), not forced: a user decontaminating
     against an eval side that outgrew the session broadcast threshold gets a
-    sort-merge join, not a driver OOM."""
+    sort-merge join, not a driver OOM.
+
+    Persist lifecycle: intermediates are cached via
+    ``session.managed_persist`` and freed by the NEXT registry-query build;
+    direct library callers in a long-lived session should wrap calls in
+    ``session.persist_scope()`` (or call ``release_persisted()``) after
+    consuming the result.
+    """
     eval_id_col = eval_id_col or id_col
     eval_text_col = eval_text_col or text_col
     from instructionspipe_spark.session import (
@@ -774,6 +793,12 @@ def simhash_near_dedup(
     Replaces the reference's order-dependent in-memory near-dedup
     (``apps/etl/etl_slimpajama_dc_proc.py:116-158``) with a deterministic,
     shuffle-bounded formulation.
+
+    Persist lifecycle: intermediates are cached via
+    ``session.managed_persist`` and freed by the NEXT registry-query build;
+    direct library callers in a long-lived session should wrap calls in
+    ``session.persist_scope()`` (or call ``release_persisted()``) after
+    consuming the result.
     """
     assert radius < bands, "exact recall needs radius < bands (pigeonhole)"
     from instructionspipe_spark.session import ensure_parallelism

@@ -3666,7 +3666,18 @@ def length_quantile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     both sides pick an actual element (DuckDB `quantile_disc`), so values
     hash-match at test scale; at 100 TB the same plan degrades gracefully
     to epsilon-rank error instead of blowing up aggregate state on a
-    long-tail length distribution."""
+    long-tail length distribution.
+
+    Oracle boundary caveat (ADVICE r4): both sides return a discrete
+    element, but their rank conventions are not guaranteed identical when
+    p*n lands exactly on a boundary — Spark's exact-mode approx_percentile
+    takes the element at the smallest rank whose cumulative weight covers
+    p, DuckDB's quantile_disc follows its own convention. The pairing is
+    therefore data-dependent: green at both tested SFs (and any dataset
+    where p*n is non-integral), but a dataset engineered to land p*n on an
+    exact rank boundary could legitimately differ by one element. The exact
+    twin (length_quantile_filter, linear interpolation both sides) has no
+    such edge."""
     (documents,) = _t(spark, sf_dir, "documents")
     scored = documents.select("doc_id", ops.token_count(F.col("text")).alias("n_tokens"))
     cuts = scored.agg(

@@ -112,6 +112,36 @@ def release_persisted() -> None:
             pass
 
 
+class persist_scope:
+    """Context manager bounding operator-internal caches for library users.
+
+    The LSH dedup/similarity operators persist narrow banded frames via
+    :func:`managed_persist`; inside the registry those are freed when the
+    next query builds. A long-lived session calling the operators DIRECTLY
+    would otherwise accumulate them — wrap each logical unit of work:
+
+        with persist_scope():
+            survivors = minhash_lsh_dedup(df, "id", "text").collect()
+        # every frame the operator persisted is now released
+
+    Exit releases ONLY the frames registered inside the scope (LIFO), so
+    nesting and surrounding registry-managed caches are unaffected. Consume
+    results (collect/write) before exiting: the returned DataFrame's plan
+    references the caches, and re-running it after release silently
+    recomputes them."""
+
+    def __enter__(self) -> "persist_scope":
+        self._mark = len(_PERSISTED)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        while len(_PERSISTED) > self._mark:
+            try:
+                _PERSISTED.pop().unpersist(blocking=False)
+            except Exception:
+                pass
+
+
 def ping(spark: SparkSession) -> bool:
     """Connection smoke test (SURVEY.md L14 — the reference round-trips "Hi"
     through the LLM before a run, inf.py:60-66; the engine's equivalent is a

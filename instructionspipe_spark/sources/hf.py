@@ -54,7 +54,9 @@ def _schema_from_header(header: bytes):
     return ipc.read_schema(pa.BufferReader(header))
 
 
-def read_arrow_ipc(spark: SparkSession, path: str, glob: str = "*.arrow") -> DataFrame:
+def read_arrow_ipc(
+    spark: SparkSession, path: str | list[str], glob: str = "*.arrow"
+) -> DataFrame:
     """Distributed Arrow-IPC scan: binaryFile file distribution + per-file
     pyarrow decode in ``mapInPandas``. Handles both the file format
     (random-access, what ``save_to_disk`` writes) and the stream format.
@@ -63,14 +65,20 @@ def read_arrow_ipc(spark: SparkSession, path: str, glob: str = "*.arrow") -> Dat
     ``binaryFile`` scan itself (Hadoop FS), never ``os.listdir`` — an
     ``s3a://`` path works exactly like a local one. The peek ships only the
     first ``_SCHEMA_PEEK_BYTES`` of the lexicographically-first file to the
-    driver.
+    driver. ``path`` may be an explicit list of shard files (hub cache
+    resolution hands one over), in which case ``glob`` is not applied.
     """
     import pyarrow as pa
 
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    binaries = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    reader = spark.read.format("binaryFile")
+    if isinstance(path, str):
+        reader = reader.option("pathGlobFilter", glob)
+        binaries = reader.load(path)
+    else:
+        binaries = reader.load(list(path))
     head = (
         binaries.select("path", F.substring("content", 1, _SCHEMA_PEEK_BYTES).alias("header"))
         .orderBy("path")
@@ -119,12 +127,25 @@ def _hadoop_ls(spark: SparkSession, path: str) -> list[str] | None:
         return None
 
 
-def read_hf_dataset(spark: SparkSession, name_or_path: str, split: str | None = None) -> DataFrame:
+def read_hf_dataset(
+    spark: SparkSession,
+    name_or_path: str,
+    split: str | None = None,
+    loader=None,
+) -> DataFrame:
     """S4 entry point. A directory (local or object-store) is read directly
     (parquet shards preferred, Arrow IPC otherwise; ``save_to_disk`` split
     layouts resolve via ``split``). A hub name needs the optional
     ``datasets`` library, which downloads/caches and then hands back local
-    Arrow files."""
+    Arrow files.
+
+    ``loader`` is the hub-resolution seam (same record-replay discipline as
+    ``token_count_hf(tokenizer_factory=...)``): any callable with
+    ``datasets.load_dataset``'s (name, split=...) signature returning an
+    object whose ``.cache_files`` is a list of ``{"filename": path}``.
+    Defaults to the real ``datasets.load_dataset`` when the library is
+    importable; tests inject a canned resolver so this branch executes
+    without the dependency (ref ``apps/training/sft.py:85-91``)."""
     entries = _hadoop_ls(spark, name_or_path)
     if entries is None and os.path.isdir(name_or_path):
         entries = os.listdir(name_or_path)
@@ -139,14 +160,19 @@ def read_hf_dataset(spark: SparkSession, name_or_path: str, split: str | None = 
         if any(e.endswith(".parquet") for e in entries):
             return spark.read.parquet(os.path.join(root, "*.parquet"))
         return read_arrow_ipc(spark, root)
-    if _hf_datasets is None:
-        raise NotImplementedError(
-            "resolving a hub dataset name requires the optional `datasets` "
-            "library; pass a local path of parquet/arrow files instead"
-        )
-    ds = _hf_datasets.load_dataset(name_or_path, split=split)
-    files = [f["filename"] for f in ds.cache_files]
+    if loader is None:
+        if _hf_datasets is None:
+            raise NotImplementedError(
+                "resolving a hub dataset name requires the optional `datasets` "
+                "library; pass a local path of parquet/arrow files instead"
+            )
+        loader = _hf_datasets.load_dataset
+    ds = loader(name_or_path, split=split)
+    # Read EXACTLY the resolved cache files. (A glob derived from the first
+    # filename — the previous approach — silently dropped sibling shards:
+    # "data-00000-of-00002.arrow" prefixes to "data-00000-of*", which never
+    # matches shard 00001.)
+    files = sorted(f["filename"] for f in ds.cache_files)
     if not files:
         raise ValueError(f"dataset {name_or_path} has no local cache files")
-    root = os.path.dirname(files[0])
-    return read_arrow_ipc(spark, root, glob=os.path.basename(files[0]).rsplit("-", 1)[0] + "*")
+    return read_arrow_ipc(spark, files)

@@ -759,3 +759,27 @@ def test_cross_corpus_near_dups_fuzzy(spark):
     ).collect()
     assert [(r["corpus_id"], r["eval_id"]) for r in rows] == [(0, 100)]
     assert 0.5 <= rows[0]["jaccard"] < 1.0
+
+
+def test_persist_scope_releases_operator_caches(spark):
+    """ADVICE r4: library callers invoking LSH operators directly (no
+    registry query to trigger the deferred release) can bound the cache
+    lifetime with session.persist_scope; exit frees exactly the frames the
+    scope registered, leaving outer registrations alone."""
+    from instructionspipe_spark import session as S
+    from instructionspipe_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} body text " * 3) for i in range(20)], ["doc_id", "text"]
+    )
+    outer = S.managed_persist(spark.range(3))
+    n_outer = len(S._PERSISTED)
+    with S.persist_scope():
+        minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.5).count()
+        assert len(S._PERSISTED) > n_outer, "operator should register caches"
+        inner = S._PERSISTED[-1]
+        assert inner.storageLevel.useMemory
+    assert len(S._PERSISTED) == n_outer, "scope exit frees only its own frames"
+    assert not inner.storageLevel.useMemory, "inner frame unpersisted"
+    assert outer.storageLevel.useMemory, "outer registration untouched"
+    S.release_persisted()

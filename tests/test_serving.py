@@ -99,3 +99,60 @@ def test_concurrent_requests(served):
     # deterministic MockLlm: same text -> same summary; distinct texts differ
     summaries = {body["summary"] for _, body in results}
     assert len(summaries) == 8
+
+
+def test_record_validation(served):
+    """ADVICE r4: explicit schema handling — null values and missing
+    required fields are 400s with clear messages, never a 500 from
+    createDataFrame's dict inference."""
+    _service, base = served
+    # DOC_PIPELINE's stage-0 scopes require text + lang.
+    status, body = _post(base + "/pipeline/run", {"doc_id": 1})
+    assert status == 400 and "missing required field" in body["error"]
+    assert "text" in body["error"] and "lang" in body["error"]
+    # null value without an input_schema: typed 400, not a 500
+    status, body = _post(
+        base + "/pipeline/run", {"doc_id": 1, "text": None, "lang": "en"}
+    )
+    assert status == 400 and "input_schema" in body["error"]
+    # nested dict is uninferable from one record
+    status, body = _post(
+        base + "/pipeline/run",
+        {"doc_id": 1, "text": "t", "lang": "en", "meta": {"a": 1}},
+    )
+    assert status == 400 and "unsupported" in body["error"]
+
+
+def test_explicit_input_schema(spark):
+    """With an explicit StructType: types are pinned (no drift from the
+    batch schema), nullable fields accept null, non-nullable nulls and
+    unknown fields are 400s."""
+    from pyspark.sql import types as T
+
+    from instructionspipe_spark.registry import DOC_PIPELINE
+    from instructionspipe_spark.serving import PipelineService, serve_background
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), nullable=False),
+            T.StructField("text", T.StringType(), nullable=False),
+            T.StructField("lang", T.StringType(), nullable=True),
+        ]
+    )
+    service = PipelineService(spark, DOC_PIPELINE, input_schema=schema)
+    server, base = serve_background(service)
+    try:
+        ok = {"doc_id": 3, "text": "about mountains", "lang": None}
+        status, body = _post(base + "/pipeline/run", ok)
+        assert status == 200 and body["doc_id"] == 3 and body["lang"] is None
+        status, body = _post(
+            base + "/pipeline/run", {"doc_id": None, "text": "t", "lang": "en"}
+        )
+        assert status == 400 and "non-nullable" in body["error"]
+        status, body = _post(
+            base + "/pipeline/run",
+            {"doc_id": 4, "text": "t", "lang": "en", "extra": 1},
+        )
+        assert status == 400 and "unknown field" in body["error"]
+    finally:
+        server.shutdown()

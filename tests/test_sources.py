@@ -266,3 +266,47 @@ def test_read_hf_dataset_hub_name_requires_lib():
     if not have_hf_datasets():
         with pytest.raises(NotImplementedError, match="datasets"):
             read_hf_dataset(None, "imdb")
+
+
+def test_read_hf_dataset_hub_name_replay(spark, tmp_path):
+    """Hub-name resolution through the injectable loader seam (VERDICT r4
+    item 7): a canned resolver stands in for datasets.load_dataset, so the
+    hub branch — resolve name -> cache_files -> exact-file Arrow scan —
+    executes without the library. Multi-shard cache_files with DIFFERENT
+    shard-count suffixes would have broken the old first-file-glob logic
+    (data-00000-of-00002 prefixes to a glob shard 00001 never matches)."""
+    from instructionspipe_spark.sources.hf import read_hf_dataset
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    f0 = str(cache / "data-00000-of-00002.arrow")
+    f1 = str(cache / "data-00001-of-00002.arrow")
+    _write_arrow_shard(f0, [(1, "alpha"), (2, "beta")])
+    _write_arrow_shard(f1, [(3, "gamma")])
+
+    calls = []
+
+    class _CannedDataset:
+        cache_files = [{"filename": f1}, {"filename": f0}]
+
+    def canned_load_dataset(name, split=None):
+        calls.append((name, split))
+        return _CannedDataset()
+
+    out = read_hf_dataset(spark, "org/some-hub-dataset", split="train", loader=canned_load_dataset)
+    assert calls == [("org/some-hub-dataset", "train")]
+    assert sorted((r["id"], r["text"]) for r in out.collect()) == [
+        (1, "alpha"), (2, "beta"), (3, "gamma"),
+    ]
+
+
+def test_read_hf_dataset_hub_name_empty_cache(spark):
+    import pytest
+
+    from instructionspipe_spark.sources.hf import read_hf_dataset
+
+    class _Empty:
+        cache_files = []
+
+    with pytest.raises(ValueError, match="no local cache files"):
+        read_hf_dataset(spark, "org/empty", loader=lambda name, split=None: _Empty())
