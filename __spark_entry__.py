@@ -33,14 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round (bpe_token_counts gained its hash oracle; cross_corpus_near_dups
 # got the stats-gated broadcast; instructions_mapreduce is the flagship).
 # Every query keeps its standing record either way via ORACLE_FULL_r*.json.
-# r5: instructions_mapreduce yields its head slot (it has an r4 gate record
-# AND entry() smoke-checks it every round) to the new similarity_multitable_topk.
+# r5 swaps: instructions_mapreduce (r4 gate record + entry() smoke every
+# round), cross_corpus_near_dups (r4 record; this round only re-routed its
+# broadcast hint) and q6_forecast_revenue (family covered by the other gated
+# TPC-H rows + ORACLE_FULL) yield their slots to the three r5 additions:
+# similarity_multitable_topk, word_block_dedup, lm_block_manifest.
 _GATE_FIRST = (
     "approx_distinct", "self_verification", "constrained_json_parse",
     "tag_extraction", "media_features", "chatml_family_adjust",
     "cached_completions", "judge_fanout_ensemble", "grpo_reward_advantage",
     "hash_split_counts", "similarity_lsh_multiprobe", "similarity_lsh_topk",
-    "agentic_fanout", "similarity_ivf_topk", "q6_forecast_revenue",
+    "agentic_fanout", "similarity_ivf_topk",
     "q4_priority_exists", "q8_market_share", "q10_returned_revenue",
     "q13_customer_distribution", "q14_promo_ratio", "q15_top_supplier",
     "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
@@ -52,7 +55,8 @@ _GATE_FIRST = (
     "contamination_screen", "stratified_corpus_sample", "temperature_mixture",
     "shard_summary", "length_quantile_filter_approx", "document_chunks",
     "tfidf_top_terms", "unigram_doc_logprob",
-    "bpe_token_counts", "similarity_multitable_topk", "cross_corpus_near_dups",
+    "bpe_token_counts", "similarity_multitable_topk", "word_block_dedup",
+    "lm_block_manifest",
 )
 
 

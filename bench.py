@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "unigram_doc_logprob",
     "cross_corpus_near_dups",
+    # round 5 additions
+    "similarity_multitable_topk",
+    "word_block_dedup",
+    "lm_block_manifest",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -29,6 +29,7 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     contamination_screen,
     cross_corpus_near_dups,
     word_ngram_hash_ids,
+    word_block_dedup,
 )
 from instructionspipe_spark.operators.sampling import (  # noqa: F401
     capped_group_sample,
@@ -49,6 +50,7 @@ from instructionspipe_spark.operators.asof import asof_join, range_join  # noqa:
 from instructionspipe_spark.operators.packing import (  # noqa: F401
     pack_greedy_firstfit,
     pack_token_stream,
+    lm_block_manifest,
 )
 from instructionspipe_spark.operators.textstats import (  # noqa: F401
     detect_language,

@@ -855,3 +855,102 @@ def simhash_near_dedup(
         .distinct()
     )
     return df.join(pairs, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide exact block dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+# Packed survivor key: doc_id * 2^20 + block_idx. 2^20 blocks/doc bounds a
+# single document at ~8M words (block_words=8) — far past any real document;
+# asserted at build time below.
+_BLOCK_IDX_BITS = 20
+
+
+def word_block_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_words: int = 8,
+) -> DataFrame:
+    """C4-style corpus-wide exact block dedup: split each document into
+    consecutive ``block_words``-word blocks; every block TEXT that occurs
+    more than once in the corpus survives only at its FIRST occurrence
+    (minimal ``(doc_id, block_idx)``) and is cut everywhere else; documents
+    are reassembled from their surviving blocks in order.
+
+    The C4 pipeline (Raffel et al. 2020, §2.2) does this at the
+    three-sentence granularity; fixed word windows are the
+    tokenizer/punctuation-free equivalent, deterministic across engines.
+
+    Output: ``(id_col, text, n_blocks, n_kept)`` — ``text`` is the
+    reassembled document ('' when every block was cut), ``n_blocks``/
+    ``n_kept`` the before/after block counts (0 for empty/whitespace docs).
+
+    Scale shape: explode cheap block INDEXES (the slice + join happens on
+    exploded rows, in codegen, not under Generate); one shuffle keyed by the
+    block md5 (uniform by construction); survivor election is the same
+    two-phase groupBy-min + join-back as the LSH representatives — a
+    boilerplate block occurring 10^9 times collapses map-side, never on one
+    task; reassembly is one groupBy on the doc id. No pairwise anything.
+    """
+    assert block_words >= 1
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    pack_mul = F.lit(1 << _BLOCK_IDX_BITS).cast("long")
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    nb_raw = F.ceil(F.size("__w") / F.lit(block_words)).cast("long")
+    base = df.select(F.col(id_col).alias("__id"), words.alias("__w")).select(
+        "__id",
+        "__w",
+        # NULL-text docs keep a NULL block count (condition NULL falls to
+        # the otherwise branch, which must NOT be the raise).
+        F.when(
+            nb_raw >= pack_mul,
+            F.raise_error(F.lit("word_block_dedup: document exceeds 2^20 blocks")),
+        )
+        .otherwise(nb_raw)
+        .alias("__nb"),
+    )
+    # sequence(0, -1) would be DESCENDING, not empty — guard zero-block docs.
+    blocks = base.filter(F.col("__nb") > 0).select(
+        "__id",
+        "__w",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nb") - 1)).alias("__bi"),
+    ).select(
+        "__id",
+        "__bi",
+        F.concat_ws(
+            " ", F.slice(F.col("__w"), (F.col("__bi") * block_words + 1).cast("int"), block_words)
+        ).alias("__btext"),
+    )
+    hashed = blocks.select(
+        "__id",
+        "__bi",
+        "__btext",
+        F.md5(F.col("__btext")).alias("__h"),
+        (F.col("__id") * pack_mul + F.col("__bi")).alias("__pk"),
+    )
+    first = hashed.groupBy("__h").agg(F.min("__pk").alias("__first"))
+    kept = hashed.join(first, "__h").filter(F.col("__pk") == F.col("__first"))
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__bi", "__btext"))),
+                lambda s: s["__btext"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("__id", F.col("__nb").alias("n_blocks"))
+        .join(reassembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

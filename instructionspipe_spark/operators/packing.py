@@ -106,3 +106,42 @@ def pack_greedy_firstfit(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(pack, schema=out_schema)
+
+
+def lm_block_manifest(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    group_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Per-training-block lineage for concat-and-chunk packing: one row per
+    (group, block, document) saying how many of the block's ``capacity``
+    tokens that document contributes — the manifest a dataloader (or a
+    contamination audit) needs to map any training block back to its source
+    documents, inverse to :func:`pack_token_stream`'s per-document view.
+
+    Output: ``group_col, block_id, id_col, n_tokens`` (``n_tokens`` > 0;
+    zero-token documents appear in no block).
+
+    Plan: the pack_token_stream cumulative sum (one shuffle on the group
+    key), then an explode of the cheap ``sequence(start_bin, end_bin)`` —
+    a document adds one output row per block it touches, so output size is
+    rows + boundary crossings, and the per-block token arithmetic happens
+    on exploded rows in codegen.
+    """
+    packed = pack_token_stream(df, id_col, token_col, group_col, capacity)
+    tok = F.col(token_col).cast("long")
+    cap = F.lit(capacity).cast("long")
+    start = F.col("start_bin") * cap + F.col("start_offset")
+    end = start + tok  # exclusive
+    exploded = packed.filter(tok > 0).select(
+        group_col,
+        id_col,
+        start.alias("__s"),
+        end.alias("__e"),
+        F.explode(F.sequence(F.col("start_bin"), F.col("end_bin"))).alias("block_id"),
+    )
+    blk_start = F.col("block_id") * cap
+    n_tokens = F.least(F.col("__e"), blk_start + cap) - F.greatest(F.col("__s"), blk_start)
+    return exploded.select(group_col, "block_id", id_col, n_tokens.alias("n_tokens"))

@@ -69,7 +69,16 @@ def hyperplane_sign_bits(vec: Column, n_bits: int = 8, bit_offset: int = 0) -> C
     any engine) recomputes identical buckets. ``bit_offset`` shifts the
     global hyperplane index — table ``t`` of a multi-table scheme passes
     ``t * n_bits`` to get ``n_bits`` hyperplanes independent of every other
-    table's (table 0 == the single-table bucketing)."""
+    table's (table 0 == the single-table bucketing).
+
+    Measured dead end (r5): precomputing the coord matrix driver-side and
+    inlining it as literal arrays (zip_with per hyperplane) is 2-3x SLOWER
+    than this md5 derivation at 4x4x64 — CreateArray boxes n_bits x dim
+    literal doubles per row inside the interpreted higher-order context,
+    while JVM md5 streams at millions/sec; a fully unrolled element_at
+    chain is worse still (codegen blow-up, broadcast-thread OOM). The md5
+    form is also what keeps the DuckDB oracle structurally identical."""
+
     def coord(j: Column, i: Column) -> Column:
         # first 4 hex chars of md5 -> int in [0, 65536) -> [-0.5, 0.5)
         h = F.md5(F.concat(j.cast("string"), F.lit(":"), i.cast("string")))
@@ -218,29 +227,33 @@ def lsh_multitable_topk(
     corpus = ensure_parallelism(corpus)
     c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"))
 
-    def table_buckets(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    hyperplane_sign_bits(vec, n_bits, bit_offset=t * n_bits).alias("b"),
-                )
-                for t in range(n_tables)
-            ]
-        )
+    def bucket_for_table(vec: Column) -> Column:
+        # CASE over the exploded table index: each output row evaluates only
+        # ITS table's n_bits hyperplanes, in codegen. (The alternative — a
+        # precomputed array of per-table (t, bucket) structs under the
+        # explode — puts all n_tables x n_bits projections under Generate,
+        # evaluated interpreted: measured 1.3x slower at 4x4x64.)
+        expr = None
+        for t in range(n_tables):
+            b = hyperplane_sign_bits(vec, n_bits, bit_offset=t * n_bits)
+            expr = F.when(F.col("__table") == t, b) if expr is None else expr.when(
+                F.col("__table") == t, b
+            )
+        return expr
 
+    tables_seq = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1)))
     c_banded = corpus.select(
-        F.col(corpus_id), F.explode(table_buckets(F.col(corpus_vec))).alias("__tb")
-    ).select(corpus_id, F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket"))
+        F.col(corpus_id), F.col(corpus_vec), tables_seq.alias("__table")
+    ).select(corpus_id, "__table", bucket_for_table(F.col(corpus_vec)).alias("__bucket"))
 
     q_base = queries.select(
         F.col(query_id),
         l2_normalize(F.col(query_vec)).alias("__qnv"),
-        table_buckets(F.col(query_vec)).alias("__tbs"),
+        F.col(query_vec).alias("__qv"),
     )
-    q_banded = q_base.select(query_id, F.explode(F.col("__tbs")).alias("__tb")).select(
-        query_id, F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__b0")
-    )
+    q_banded = q_base.select(
+        query_id, "__qv", tables_seq.alias("__table")
+    ).select(query_id, "__table", bucket_for_table(F.col("__qv")).alias("__b0"))
     if multiprobe:
         probes = F.array(
             F.col("__b0"), *[F.col("__b0").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]

@@ -1385,6 +1385,97 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.pack_token_stream(with_tok, "doc_id", "n_tokens", "lang", capacity=512)
 
 
+def _lm_block_manifest_oracle(capacity: int = 256) -> str:
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, lang, {_TOKEN_COUNT_SQL} AS n_tokens FROM documents
+    ),
+    cum AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM tok
+    ),
+    packed AS (
+        SELECT lang, doc_id, cb AS s, cb + n_tokens AS e,
+               cb // {capacity} AS start_bin,
+               (cb + n_tokens - 1) // {capacity} AS end_bin
+        FROM cum WHERE n_tokens > 0
+    ),
+    exploded AS (
+        SELECT lang, doc_id, s, e, unnest(range(start_bin, end_bin + 1)) AS block_id
+        FROM packed
+    )
+    SELECT lang, block_id, doc_id,
+           least(e, (block_id + 1) * {capacity}) - greatest(s, block_id * {capacity}) AS n_tokens
+    FROM exploded
+    """
+
+
+@query("lm_block_manifest", oracle=_lm_block_manifest_oracle())
+def lm_block_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-block lineage (inverse of sequence_packing): one row per
+    (lang, 256-token block, document) with the tokens that document
+    contributes — the manifest that maps any training block back to its
+    source documents for dataloaders and contamination audits. One group-key
+    shuffle + a cheap sequence explode."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    with_tok = documents.select(
+        "doc_id", "lang", ops.token_count(F.col("text")).alias("n_tokens")
+    )
+    return ops.lm_block_manifest(with_tok, "doc_id", "n_tokens", "lang", capacity=256)
+
+
+def _word_block_dedup_oracle(block_words: int = 8) -> str:
+    pack_mul = 1 << 20
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    nb AS (
+        SELECT doc_id, w, CAST(ceil(len(w) / {block_words}.0) AS BIGINT) AS n_blocks FROM base
+    ),
+    blocks AS (
+        SELECT doc_id, bi,
+               array_to_string(w[CAST(bi * {block_words} + 1 AS BIGINT)
+                                 : CAST((bi + 1) * {block_words} AS BIGINT)], ' ') AS btext
+        FROM nb, UNNEST(range(n_blocks)) AS t(bi)
+    ),
+    hashed AS (
+        SELECT doc_id, bi, btext, md5(btext) AS h,
+               doc_id * {pack_mul} + bi AS pk
+        FROM blocks
+    ),
+    first AS (SELECT h, MIN(pk) AS fpk FROM hashed GROUP BY h),
+    kept AS (
+        SELECT hashed.* FROM hashed
+        JOIN first ON hashed.h = first.h AND hashed.pk = first.fpk
+    ),
+    reasm AS (
+        SELECT doc_id, string_agg(btext, ' ' ORDER BY bi) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT nb.doc_id, COALESCE(reasm.text, '') AS text, nb.n_blocks,
+           COALESCE(reasm.n_kept, 0) AS n_kept
+    FROM nb LEFT JOIN reasm ON nb.doc_id = reasm.doc_id
+    """
+
+
+@query("word_block_dedup", oracle=_word_block_dedup_oracle())
+def word_block_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide exact block dedup (operators/dedup.py:
+    word_block_dedup): every 8-word block text survives only at its first
+    (min doc_id, block_idx) occurrence; documents reassemble from surviving
+    blocks. One uniform shuffle on the block md5 with two-phase survivor
+    election (hot boilerplate blocks collapse map-side), one reassembly
+    groupBy."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.word_block_dedup(documents, "doc_id", "text", block_words=8)
+
+
 def _greedy_packing_oracle(capacity: int = 512, modulus: int = 7) -> str:
     return rf"""
     WITH RECURSIVE tok AS (

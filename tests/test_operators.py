@@ -783,3 +783,45 @@ def test_persist_scope_releases_operator_caches(spark):
     assert not inner.storageLevel.useMemory, "inner frame unpersisted"
     assert outer.storageLevel.useMemory, "outer registration untouched"
     S.release_persisted()
+
+
+def test_word_block_dedup_semantics(spark):
+    """C4-style block dedup: first occurrence (min doc, min position)
+    survives, later duplicates are cut — including within one document —
+    and edge docs (empty, NULL, shorter than one block) pass through."""
+    from instructionspipe_spark.operators.dedup import word_block_dedup
+
+    A = "a b c d"       # block of 4 words with block_words=4
+    B = "e f g h"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{A} {B}"),           # first occurrence of A and B
+            (1, f"{B} {A} x y"),       # both blocks cut; tail block "x y" kept
+            (2, f"{A} {A}"),           # duplicate within the SAME doc: cut
+            (3, ""),                   # empty: 0 blocks
+            (4, None),                 # NULL text
+            (5, "z"),                  # sub-block doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in word_block_dedup(docs, "doc_id", "text", block_words=4).collect()}
+    assert (rows[0]["text"], rows[0]["n_blocks"], rows[0]["n_kept"]) == (f"{A} {B}", 2, 2)
+    assert (rows[1]["text"], rows[1]["n_blocks"], rows[1]["n_kept"]) == ("x y", 3, 1)
+    assert (rows[2]["text"], rows[2]["n_blocks"], rows[2]["n_kept"]) == ("", 2, 0)
+    assert (rows[3]["text"], rows[3]["n_blocks"], rows[3]["n_kept"]) == ("", 0, 0)
+    assert rows[4]["text"] == "" and rows[4]["n_blocks"] is None and rows[4]["n_kept"] == 0
+    assert (rows[5]["text"], rows[5]["n_blocks"], rows[5]["n_kept"]) == ("z", 1, 1)
+
+
+def test_word_block_dedup_two_phase_plan(spark):
+    """Survivor election must be the skew-safe groupBy-min + join-back, not
+    a window over the block hash (a boilerplate block repeated across the
+    corpus would land on one window task)."""
+    from instructionspipe_spark.operators.dedup import word_block_dedup
+
+    docs = spark.createDataFrame([(i, "same text " * 4) for i in range(50)], "doc_id long, text string")
+    out = word_block_dedup(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    rows = out.collect()
+    assert sum(r["n_kept"] for r in rows) == 1 and rows[0] is not None

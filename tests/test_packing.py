@@ -97,3 +97,31 @@ def test_pack_token_stream_invariants(spark):
             assert r["end_bin"] * cap <= expected + r["n_tokens"] - 1 < (r["end_bin"] + 1) * cap
         else:
             assert r["end_bin"] == r["start_bin"] - 1
+
+
+def test_lm_block_manifest_invariants(spark):
+    """Manifest rows partition the token stream: every block except each
+    group's last carries exactly `capacity` tokens, per-doc contributions
+    sum to the doc's token count, and zero-token docs vanish."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.packing import lm_block_manifest
+
+    docs = spark.createDataFrame(
+        [(0, "g", 5), (1, "g", 12), (2, "g", 0), (3, "g", 7), (10, "h", 3)],
+        "doc_id long, grp string, n_tokens long",
+    )
+    out = lm_block_manifest(docs, "doc_id", "n_tokens", "grp", capacity=8).collect()
+    assert all(r["n_tokens"] > 0 for r in out)
+    assert not any(r["doc_id"] == 2 for r in out)
+    per_doc = {}
+    per_block = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+        per_block[(r["grp"], r["block_id"])] = per_block.get((r["grp"], r["block_id"]), 0) + r["n_tokens"]
+    assert per_doc == {0: 5, 1: 12, 3: 7, 10: 3}
+    # g stream = 24 tokens = blocks 0,1,2 full at 8; h stream = 3 tokens in block 0
+    assert per_block == {("g", 0): 8, ("g", 1): 8, ("g", 2): 8, ("h", 0): 3}
+    # doc 1 spans blocks 0->2 (starts at offset 5)
+    doc1 = sorted((r["block_id"], r["n_tokens"]) for r in out if r["doc_id"] == 1)
+    assert doc1 == [(0, 3), (1, 8), (2, 1)]
