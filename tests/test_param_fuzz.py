@@ -303,3 +303,30 @@ def test_weighted_sample_param_space(spark, documents, duck, n, seed):
     )
     got = weighted_sample(weighted, "quality", n, seed=seed, id_cols=["doc_id"], group_cols=["lang"])
     assert_df_equal(got, duck.query(_weighted_sample_oracle(n, seed)))
+
+
+# -- word-block dedup: block-size sweep vs the same-parameter oracle --------
+# Locks the slice arithmetic (last partial block, sub-block docs), the
+# packed survivor key, and reassembly ordering across the block_words space,
+# not just the gated default of 8.
+@pytest.mark.parametrize("block_words", [1, 2, 5, 16, 64])
+def test_word_block_dedup_param_space(spark, documents, duck, block_words):
+    from instructionspipe_spark.operators.dedup import word_block_dedup
+    from instructionspipe_spark.registry import _word_block_dedup_oracle
+
+    got = word_block_dedup(documents, "doc_id", "text", block_words=block_words)
+    assert_df_equal(got, duck.query(_word_block_dedup_oracle(block_words)))
+
+
+# -- LM block manifest: capacity sweep vs the same-parameter oracle ---------
+@pytest.mark.parametrize("capacity", [1, 7, 64, 512, 100000])
+def test_lm_block_manifest_param_space(spark, documents, duck, capacity):
+    from instructionspipe_spark.operators.packing import lm_block_manifest
+    from instructionspipe_spark.operators.textstats import token_count
+    from instructionspipe_spark.registry import _lm_block_manifest_oracle
+
+    with_tok = documents.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    got = lm_block_manifest(with_tok, "doc_id", "n_tokens", "lang", capacity=capacity)
+    assert_df_equal(got, duck.query(_lm_block_manifest_oracle(capacity)))
