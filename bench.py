@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "similarity_multitable_topk",
     "word_block_dedup",
     "lm_block_manifest",
+    "lsh_bucket_stats",
+    "frequent_ngrams",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -30,6 +30,7 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     cross_corpus_near_dups,
     word_ngram_hash_ids,
     word_block_dedup,
+    lsh_bucket_stats,
 )
 from instructionspipe_spark.operators.sampling import (  # noqa: F401
     capped_group_sample,
@@ -59,6 +60,7 @@ from instructionspipe_spark.operators.textstats import (  # noqa: F401
     repetition_stats,
     text_stats,
     tfidf_top_terms,
+    frequent_word_ngrams,
     token_count,
     token_count_bpe,
     unigram_doc_logprob,

@@ -954,3 +954,50 @@ def word_block_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    engine: str = "arrow",
+    top_k: int = 10,
+) -> DataFrame:
+    """LSH health check: the ``top_k`` largest band buckets with their
+    member counts — run BEFORE a near-dedup pass to spot mega-buckets (a
+    bucket holding 30% of the corpus means boilerplate that deserves
+    template stripping / word_block_dedup first, and predicts where the
+    two-phase representative election will be earning its keep).
+
+    Output: ``(band_idx, band_hash, n_docs, rank)``; rank orders buckets
+    within each band by size desc (ties by hash asc).
+
+    Scale shape: the same single banding pass the dedup operators run, then
+    ONE count aggregation with map-side partials (the mega-bucket itself
+    collapses per task) over (band, hash); the per-band top-k window is
+    rank-limited, so Spark's WindowGroupLimit keeps each map task to k rows
+    per band before the exchange.
+    """
+    from instructionspipe_spark.session import ensure_parallelism
+
+    d = ensure_parallelism(df)
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram, engine=engine)
+    with_sig = d.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    banded = _banded_frame(with_sig, bands, num_perm // bands)
+    sizes = banded.groupBy("__band_idx", "__band_hash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("__band_idx").orderBy(F.desc("n_docs"), F.asc("__band_hash"))
+    return (
+        sizes.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("__band_idx").alias("band_idx"),
+            F.col("__band_hash").alias("band_hash"),
+            "n_docs",
+            "rank",
+        )
+    )

@@ -342,3 +342,60 @@ def token_count_hf(text_col: str, model_name: str = "gpt2", tokenizer_factory=No
             yield texts.map(lambda t: len(tok.encode(t)) if t is not None else 0)
 
     return _count(F.col(text_col))
+
+
+def frequent_word_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    ngram_words: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams with document frequency — the
+    boilerplate detector a pipeline runs BEFORE choosing dedup parameters
+    (a handful of n-grams covering a large doc fraction predicts LSH
+    mega-buckets and motivates block dedup / template stripping).
+
+    Output: ``(ngram, n_occurrences, n_docs, rank)`` — top ``top_k`` by
+    total occurrences, ties broken by the n-gram string for determinism.
+    ``id_col`` identifies documents for the distinct-doc count (falls back
+    to ``monotonically_increasing_id`` — fine operationally, but pass a
+    real id for cross-engine reproducibility).
+
+    Scale shape: explode cheap positions (the n-gram string materializes
+    after the explode, in codegen); ONE aggregation keyed by the n-gram with
+    map-side partial counts (a viral n-gram collapses per task before the
+    exchange); top-k is a TakeOrdered over the aggregated (distinct-ngram
+    sized) frame, not a full sort.
+    """
+    from pyspark.sql import Window
+
+    from instructionspipe_spark.functions.text import shingle_normalize
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    doc = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    toks = F.filter(F.split(shingle_normalize(F.col(text_col)), " "), lambda t: t != "")
+    cnt = F.size(F.col("__toks"))
+    # sequence(1, 0) is DESCENDING, not empty — guard docs shorter than n.
+    seq = F.when(
+        cnt >= ngram_words, F.sequence(F.lit(1), cnt - F.lit(ngram_words - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = (
+        df.select(doc.alias("__doc"), toks.alias("__toks"))
+        .select("__doc", "__toks", F.explode(seq).alias("__i"))
+        .select(
+            "__doc",
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), ngram_words)).alias("ngram"),
+        )
+    )
+    counts = exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("__doc").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("ngram", "n_occurrences", "n_docs", "rank")
+    )

@@ -948,6 +948,80 @@ def cross_corpus_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_stats_oracle(num_perm: int = 16, bands: int = 4, top_k: int = 10) -> str:
+    rows_per_band = num_perm // bands
+    band_exprs = ", ".join(
+        f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
+        for b in range(bands)
+    )
+    return (
+        "WITH" + _minhash_base_cte(num_perm) + f""",
+    banded AS (
+        SELECT doc_id, u.b AS band_idx, u.h AS band_hash
+        FROM sig, UNNEST([{band_exprs}]) AS t(u)
+        WHERE __sig IS NOT NULL
+    ),
+    sizes AS (
+        SELECT band_idx, band_hash, COUNT(*) AS n_docs
+        FROM banded GROUP BY band_idx, band_hash
+    ),
+    ranked AS (
+        SELECT band_idx, band_hash, n_docs,
+               ROW_NUMBER() OVER (PARTITION BY band_idx
+                                  ORDER BY n_docs DESC, band_hash ASC) AS rank
+        FROM sizes
+    )
+    SELECT band_idx, band_hash, n_docs, rank FROM ranked WHERE rank <= {top_k}
+    """
+    )
+
+
+@query("lsh_bucket_stats", oracle=_lsh_bucket_stats_oracle())
+def lsh_bucket_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH health diagnostic (operators/dedup.py:lsh_bucket_stats): the 10
+    largest MinHash band buckets per band — the pre-dedup census that spots
+    boilerplate mega-buckets. One banding pass + one partial-agg count; the
+    per-band top-k window is WindowGroupLimit-bounded."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.lsh_bucket_stats(documents, "doc_id", "text")
+
+
+def _frequent_ngrams_oracle(ngram_words: int = 3, top_k: int = 20) -> str:
+    return rf"""
+    WITH norm AS (
+        SELECT doc_id,
+               list_filter(string_split({_norm_sql('text')}, ' '), t -> t <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(w[CAST(i AS BIGINT) : CAST(i + {ngram_words} - 1 AS BIGINT)], ' ') AS ngram
+        FROM norm, UNNEST(range(1, greatest(len(w) - {ngram_words - 1}, 0) + 1)) AS t(i)
+    ),
+    counts AS (
+        SELECT ngram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY ngram
+    ),
+    ranked AS (
+        SELECT ngram, n_occurrences, n_docs,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS rank
+        FROM counts
+    )
+    SELECT ngram, n_occurrences, n_docs, rank FROM ranked WHERE rank <= {top_k}
+    """
+
+
+@query("frequent_ngrams", oracle=_frequent_ngrams_oracle())
+def frequent_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top word-trigrams with document frequency
+    (operators/textstats.py:frequent_word_ngrams) — the boilerplate census
+    a pipeline runs before choosing dedup parameters. Explode cheap
+    positions, one partial-agg count keyed by the n-gram, rank-limited
+    top-k."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.frequent_word_ngrams(documents, "text", id_col="doc_id", ngram_words=3, top_k=20)
+
+
 def _near_dup_components_ctes(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     """Shared WITH-RECURSIVE prefix ending in ``comp(doc_id, component)`` —
     used by the clustering query and the cluster-survivor composition."""

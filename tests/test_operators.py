@@ -825,3 +825,39 @@ def test_word_block_dedup_two_phase_plan(spark):
     assert "partial_min" in plan
     rows = out.collect()
     assert sum(r["n_kept"] for r in rows) == 1 and rows[0] is not None
+
+
+def test_lsh_bucket_stats_finds_mega_bucket(spark):
+    """A boilerplate-heavy corpus must surface its mega-bucket at rank 1 in
+    every band, with the count matching the duplicate population."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import lsh_bucket_stats
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("the same boilerplate text repeated " * 3))
+        .otherwise(F.concat(F.lit("unique "), F.md5(F.col("id").cast("string"))))
+        .alias("text"),
+    )
+    rows = lsh_bucket_stats(docs, "doc_id", "text", top_k=3).collect()
+    assert {r["band_idx"] for r in rows} == {0, 1, 2, 3}
+    for b in range(4):
+        top = next(r for r in rows if r["band_idx"] == b and r["rank"] == 1)
+        assert top["n_docs"] >= 50, f"band {b} missed the 50-doc mega-bucket"
+
+
+def test_frequent_word_ngrams_counts(spark):
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.textstats import frequent_word_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha beta gamma"), (1, "alpha beta gamma"), (2, "x"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["ngram"]: r for r in frequent_word_ngrams(docs, "text", id_col="doc_id", ngram_words=3, top_k=5).collect()}
+    top = rows["alpha beta gamma"]
+    # doc 0 contributes 2 occurrences (positions 1 and 4), doc 1 one more
+    assert (top["n_occurrences"], top["n_docs"], top["rank"]) == (3, 2, 1)
+    assert "x" not in rows  # shorter than the n-gram window
