@@ -75,3 +75,55 @@ def agentic_map(
         out_col, F.map_from_entries(F.filter(entries, lambda e: e["value"].isNotNull()))
     )
     return merged
+
+
+def agentic_map_routed(
+    df: DataFrame,
+    instructions: tuple[Instruction, ...],
+    llms: dict[str, LlmClient],
+    router,
+    default_task: str,
+    kernels: dict[str, TaskKernel] | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "agent_results",
+) -> DataFrame:
+    """RUNTIME-routed supervisor fan-out: ``router`` is a Column expression
+    evaluated per RECORD whose value picks the agent (LLM + kernel) that
+    runs the stage's instructions for that record — the dataflow form of
+    the reference supervisor's conditional ``Send`` edges
+    (``impl/agentic_mr/v0.py:118-137``), where :func:`agentic_map` covers
+    only compile-time per-instruction routing.
+
+    NULL or unregistered router values fall back to ``default_task``
+    (which must be a key of ``llms``). Plan shape: one filter branch per
+    registered task — each kernel sees ONLY its routed rows — then a
+    ``unionByName`` and the same map-merge as :func:`agentic_map`. The
+    input is scanned once per distinct task; tasks are an enum of agent
+    types (a handful), never data-cardinality, so the multiplier is
+    bounded and each branch's scan carries the router predicate down to
+    the source.
+    """
+    if default_task not in llms:
+        raise ValueError(f"default_task {default_task!r} not in llms {sorted(llms)}")
+    kernels = kernels or {}
+    routed = df.withColumn(
+        "__task",
+        F.when(router.isin(*llms), router).otherwise(F.lit(default_task)),
+    )
+    branches = []
+    for task, llm in llms.items():
+        sub = routed.filter(F.col("__task") == task)
+        kernel = kernels.get(task, default_kernel)
+        branches.append(kernel(sub, instructions, llm))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    entries = F.array(
+        *[
+            F.struct(F.lit(i.name).alias("key"), F.col(i.name).alias("value"))
+            for i in instructions
+        ]
+    )
+    return out.withColumn(
+        out_col, F.map_from_entries(F.filter(entries, lambda e: e["value"].isNotNull()))
+    ).drop("__task")

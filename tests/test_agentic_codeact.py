@@ -85,3 +85,47 @@ def test_codeact_qa_dataframe_kernel(spark):
     )
     got = {r["id"]: r["answer"] for r in out.collect()}
     assert got == {1: "answer: sum", 2: "answer: prod"}
+
+
+def test_agentic_map_routed_runtime_routing(spark):
+    """Dynamic routing (VERDICT r4 gap 4): the router column decides per
+    RECORD which llm runs the instructions; unknown/null router values fall
+    back to the default task; results differ by model hash."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.plans.agentic import agentic_map_routed
+    from instructionspipe_spark.plans.instructions import Instruction
+    from instructionspipe_spark.plans.llm_kernel import MockLlm
+
+    docs = spark.createDataFrame(
+        [(0, "hello", "en"), (1, "hallo", "de"), (2, "hei", None), (3, "hola", "zz")],
+        "doc_id long, text string, lang string",
+    )
+    instr = (Instruction(name="summary", scope=("text",), content="summarize"),)
+    out = agentic_map_routed(
+        docs,
+        instr,
+        llms={"en_expert": MockLlm(model="en_expert"), "generalist": MockLlm(model="generalist")},
+        router=F.when(F.col("lang") == "en", F.lit("en_expert")),  # NULL for everyone else
+        default_task="generalist",
+    )
+    rows = {r["doc_id"]: r["agent_results"]["summary"] for r in out.collect()}
+    assert len(rows) == 4
+    # doc 0 hashed by en_expert; 1-3 (incl. NULL router) by generalist
+    single_en = agentic_map_routed(
+        docs.filter("doc_id = 0"), instr,
+        llms={"en_expert": MockLlm(model="en_expert")},
+        router=F.lit("en_expert"), default_task="en_expert",
+    ).collect()[0]["agent_results"]["summary"]
+    assert rows[0] == single_en
+    assert rows[1] != rows[0]
+    gen_only = agentic_map_routed(
+        docs.filter("doc_id = 1"), instr,
+        llms={"generalist": MockLlm(model="generalist")},
+        router=F.lit("generalist"), default_task="generalist",
+    ).collect()[0]["agent_results"]["summary"]
+    assert rows[1] == gen_only
+    import pytest
+
+    with pytest.raises(ValueError, match="default_task"):
+        agentic_map_routed(docs, instr, llms={"a": MockLlm()}, router=F.lit("a"), default_task="missing")
