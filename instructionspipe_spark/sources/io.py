@@ -15,15 +15,57 @@ from pyspark.sql import types as T
 
 
 def read_jsonl(
-    spark: SparkSession, path: str, schema: T.StructType | None = None, permissive: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    permissive: bool = True,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Newline-delimited JSON scan (S1). Blank lines are dropped natively.
     Always pass a schema in production: schema inference is a full extra
-    pass over 100 TB."""
+    pass over 100 TB. ``corrupt_col`` captures each malformed line's raw
+    text in that column (appended to the schema) instead of silently
+    nulling every field — feed it to :func:`read_jsonl_quarantine` to split
+    good rows from a quarantine frame."""
     reader = spark.read.option("mode", "PERMISSIVE" if permissive else "FAILFAST")
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+        if schema is not None and corrupt_col not in schema.fieldNames():
+            schema = T.StructType(
+                schema.fields + [T.StructField(corrupt_col, T.StringType())]
+            )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-line quarantine: ``(good, bad)`` — good rows without the
+    corrupt column, bad rows as ``(corrupt_col,)`` carrying the raw line.
+    The 100 TB posture for dirty JSONL: parse once, quarantine instead of
+    dropping (silent nulls) or aborting (FAILFAST on line 3 of shard 90k).
+
+    The parsed frame is persisted before filtering: Spark disallows queries
+    whose only referenced columns are the internal corrupt-record column on
+    a raw scan (SPARK-21610), and the cache also keeps the split one-pass.
+    Callers should unpersist via ``session.release_persisted()`` (or wrap
+    in ``session.persist_scope()``) after materializing both sides.
+    """
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.session import managed_persist
+
+    df = managed_persist(
+        read_jsonl(spark, path, schema=schema, corrupt_col=corrupt_col)
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
 
 
 def read_csv(

@@ -310,3 +310,29 @@ def test_read_hf_dataset_hub_name_empty_cache(spark):
 
     with pytest.raises(ValueError, match="no local cache files"):
         read_hf_dataset(spark, "org/empty", loader=lambda name, split=None: _Empty())
+
+
+def test_read_jsonl_quarantine(spark, tmp_path):
+    """Malformed lines land in the quarantine frame with their raw text;
+    good rows parse clean and drop the corrupt column."""
+    from pyspark.sql import types as T
+
+    from instructionspipe_spark.session import release_persisted
+    from instructionspipe_spark.sources.io import read_jsonl_quarantine
+
+    src = tmp_path / "dirty.jsonl"
+    src.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        "not json at all\n"
+        '{"id": 2, "text": "fine"}\n'
+        '{"id": 3, "text": truncated\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(src), schema)
+    assert sorted((r["id"], r["text"]) for r in good.collect()) == [(1, "ok"), (2, "fine")]
+    assert "_corrupt_record" not in good.columns
+    bad_lines = sorted(r["_corrupt_record"] for r in bad.collect())
+    assert bad_lines == ["not json at all", '{"id": 3, "text": truncated']
+    release_persisted()
