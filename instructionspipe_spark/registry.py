@@ -1550,6 +1550,59 @@ def word_block_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.word_block_dedup(documents, "doc_id", "text", block_words=8)
 
 
+def _lm_corpus_blocks_oracle(block_words: int = 8, capacity: int = 256) -> str:
+    """Composition oracle: the word_block_dedup oracle as a derived table,
+    token counts over the DEDUPED text, then the block-manifest window —
+    the same three stages the Spark side chains."""
+    inner = _word_block_dedup_oracle(block_words)
+    return rf"""
+    WITH dedup AS (SELECT * FROM ({inner})),
+    tok_base AS (
+        SELECT d.doc_id, doc.lang, d.text
+        FROM dedup d JOIN documents doc USING (doc_id)
+    ),
+    tok AS (
+        SELECT doc_id, lang, {_TOKEN_COUNT_SQL} AS n_tokens FROM tok_base
+    ),
+    cum AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM tok
+    ),
+    packed AS (
+        SELECT lang, doc_id, cb AS s, cb + n_tokens AS e,
+               cb // {capacity} AS start_bin,
+               (cb + n_tokens - 1) // {capacity} AS end_bin
+        FROM cum WHERE n_tokens > 0
+    ),
+    exploded AS (
+        SELECT lang, doc_id, s, e, unnest(range(start_bin, end_bin + 1)) AS block_id
+        FROM packed
+    )
+    SELECT lang, block_id, doc_id,
+           least(e, (block_id + 1) * {capacity}) - greatest(s, block_id * {capacity}) AS n_tokens
+    FROM exploded
+    """
+
+
+@query("lm_corpus_blocks", oracle=_lm_corpus_blocks_oracle())
+def lm_corpus_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composition flagship: C4-style word-block dedup -> token
+    counts over the deduped text -> per-training-block manifest. Three
+    operator families chained; every stage streams (block-hash shuffle +
+    doc reassembly groupBy from the dedup, one group-key window for the
+    manifest)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    deduped = ops.word_block_dedup(documents, "doc_id", "text", block_words=8)
+    with_tok = (
+        deduped.join(documents.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", ops.token_count(F.col("text")).alias("n_tokens"))
+    )
+    return ops.lm_block_manifest(with_tok, "doc_id", "n_tokens", "lang", capacity=256)
+
+
 def _greedy_packing_oracle(capacity: int = 512, modulus: int = 7) -> str:
     return rf"""
     WITH RECURSIVE tok AS (
