@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "lm_block_manifest",
     "lsh_bucket_stats",
     "frequent_ngrams",
+    "lm_corpus_blocks",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.
