@@ -54,7 +54,9 @@ from instructionspipe_spark.operators.packing import (  # noqa: F401
     lm_block_manifest,
 )
 from instructionspipe_spark.operators.textstats import (  # noqa: F401
+    char_entropy,
     detect_language,
+    distinct_char_count,
     doc_fingerprint,
     quality_score,
     repetition_stats,

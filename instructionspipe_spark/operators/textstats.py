@@ -189,6 +189,72 @@ def doc_fingerprint(text: Column, ngram: int = 8, engine: str = "arrow") -> Colu
     return F.array_min(F.transform(grams, F.md5))
 
 
+def _entropy_kernel():
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def kernel(text: pd.Series) -> pd.Series:
+        out = []
+        for s in text:
+            if s is None:
+                out.append(None)
+            elif not s:
+                out.append(0.0)
+            else:
+                # utf-32-le reinterpret = vectorized code-point array; one
+                # np.unique per row replaces a Python char loop.
+                cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                _, counts = np.unique(cp, return_counts=True)
+                p = counts / counts.sum()
+                out.append(float(-(p * np.log2(p)).sum()))
+        return pd.Series(out, dtype="float64")
+
+    return kernel
+
+
+def char_entropy(text: Column, engine: str = "arrow") -> Column:
+    """Shannon entropy (bits/char, base 2) of the character distribution of
+    ``text`` — the classic cheap gibberish/repetition signal: natural-language
+    prose sits near 4–4.5 bits, single-char spam near 0, uniform random
+    base64 near 6. NULL text -> NULL, empty -> 0.0.
+
+    Scale shape: pure per-row map pass — no shuffle, no explode (a
+    char-explode + groupBy formulation shuffles |corpus| * avg_doc_len rows;
+    this computes the histogram row-locally inside one Arrow kernel). The
+    ``expr`` engine is the dependency-free pure-expression fallback
+    (O(distinct_chars * len) per row, interpreted under higher-order
+    functions — correct everywhere, slower; arrow is the production path).
+
+    The reference has no quality scoring (it delegates judgment to LLMs,
+    ``src/python/instructionspipe/impl/judge*`` ); entropy is the pre-LLM
+    filter a 100 TB pipeline runs first.
+    """
+    if engine == "arrow":
+        return _entropy_kernel()(text)
+    chars = F.split(text, "")
+    n = F.size(chars)
+    probs = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n.cast("double"),
+    )
+    ent = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    )
+    return F.when(text.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(n == 0, F.lit(0.0)).otherwise(ent)
+    )
+
+
+def distinct_char_count(text: Column) -> Column:
+    """Number of distinct characters in ``text`` (companion signal to
+    :func:`char_entropy`: low entropy + low distinct count = repetition;
+    low entropy + high count = skewed but rich). Empty -> 0 (Spark's
+    ``split('', '')`` yields ``['']``, which would count as one)."""
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(text, "")))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All text-analysis columns at once (single pass over the text)."""
     from instructionspipe_spark.session import ensure_parallelism

@@ -4133,3 +4133,45 @@ def shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "char_entropy_quality",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    ent AS (
+        SELECT doc_id, ROUND(entropy(c), 6) AS char_entropy,
+               COUNT(DISTINCT c) AS n_distinct_chars
+        FROM chars GROUP BY doc_id
+    )
+    SELECT e.doc_id, e.char_entropy, e.n_distinct_chars, d.n_chars
+    FROM ent e JOIN documents d USING (doc_id)
+    ORDER BY e.char_entropy, e.doc_id LIMIT 100
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gibberish/repetition screen: the 100 lowest-character-entropy
+    documents (Shannon bits/char + distinct-char count). The entropy is one
+    shuffle-free Arrow map pass (operators/textstats.py char_entropy — a
+    char-explode + groupBy formulation would shuffle |corpus| * avg_len
+    rows); the top-100 executes as TakeOrdered (no global sort). Ranked on
+    the pre-rounded entropy with doc_id tiebreak so cross-engine float ulps
+    can't flip the cut."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    from instructionspipe_spark.session import ensure_parallelism
+
+    documents = ensure_parallelism(documents)
+    return (
+        documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            F.round(ops.char_entropy(F.col("text")), 6).alias("char_entropy"),
+            ops.distinct_char_count(F.col("text")).cast("bigint").alias("n_distinct_chars"),
+            "n_chars",
+        )
+        .orderBy("char_entropy", "doc_id")
+        .limit(100)
+    )

@@ -861,3 +861,37 @@ def test_frequent_word_ngrams_counts(spark):
     # doc 0 contributes 2 occurrences (positions 1 and 4), doc 1 one more
     assert (top["n_occurrences"], top["n_docs"], top["rank"]) == (3, 2, 1)
     assert "x" not in rows  # shorter than the n-gram window
+
+
+def test_char_entropy_engines_and_edges(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.textstats import (
+        char_entropy,
+        distinct_char_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aab"), (2, ""), (3, None), (4, "ab c"), (5, "aaaa"), (6, "abcdefgh")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.round(char_entropy(F.col("text")), 6).alias("arrow"),
+            F.round(char_entropy(F.col("text"), engine="expr"), 6).alias("expr"),
+            distinct_char_count(F.col("text")).alias("nd"),
+        ).collect()
+    }
+    # engines agree everywhere
+    for r in rows.values():
+        assert r["arrow"] == r["expr"]
+    assert rows[1]["arrow"] == round(-(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3)), 6)
+    assert rows[2]["arrow"] == 0.0 and rows[2]["nd"] == 0  # empty
+    assert rows[3]["arrow"] is None and rows[3]["nd"] is None  # null
+    assert rows[4]["arrow"] == 2.0 and rows[4]["nd"] == 4  # uniform over 4
+    assert rows[5]["arrow"] == 0.0 and rows[5]["nd"] == 1  # single char
+    assert rows[6]["arrow"] == 3.0 and rows[6]["nd"] == 8  # uniform over 8
