@@ -28,6 +28,8 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     embedding_near_dup,
     contamination_screen,
     cross_corpus_near_dups,
+    incremental_minhash_dedup,
+    minhash_band_store,
     word_ngram_hash_ids,
     word_block_dedup,
     lsh_bucket_stats,

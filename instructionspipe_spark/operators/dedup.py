@@ -554,6 +554,127 @@ def cross_corpus_near_dups(
     )
 
 
+def minhash_band_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    engine: str = "arrow",
+) -> DataFrame:
+    """The persistable MinHash-LSH signature store: one ``(__id, __band_idx,
+    __band_hash)`` row per (document, band). This is the frame a 100 TB
+    pipeline writes to parquet ONCE per corpus and appends per increment, so
+    :func:`incremental_minhash_dedup` never re-signs the accumulated corpus
+    — each nightly batch pays signatures only for its own rows plus one
+    streamed equi-join against the store. NULL-signature docs (no shingles)
+    are absent by construction: they never pair."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram, engine=engine)
+    return _banded_frame(
+        df.select(F.col(id_col).alias("__id"), sig.alias("__sig")), bands, rows_per_band
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_id_col: str | None = None,
+    batch_text_col: str | None = None,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    engine: str = "arrow",
+    corpus_store: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dedup: admit a NEW batch against an accumulated
+    corpus. One row per batch record — ``(batch_id, dup_of, jaccard,
+    kept)`` where ``dup_of`` is the best-matching corpus id (max verified
+    jaccard, min id on ties — deterministic in any engine via the
+    pre-rounded score), NULL + ``kept=true`` when no corpus row clears
+    ``threshold``. The reference dedups only whole static corpora
+    (``apps/etl/etl_slimpajama_dc_proc.py``); incremental admission is what
+    a continuously-crawling 100 TB pipeline actually runs nightly.
+
+    Scale shape: the CORPUS side is the big one and streams exactly once —
+    through one equi-join on ``(band_idx, band_hash)`` against the batch's
+    banded frame (stats-gated broadcast). Pass ``corpus_store`` (a persisted
+    :func:`minhash_band_store` frame read back from parquet) and the corpus
+    text is never re-signed; verification re-reads only the candidate
+    corpus rows. Candidates exist only ACROSS sides — batch-vs-batch and
+    corpus-vs-corpus pairs are never formed. Best-match election is a
+    two-phase ``groupBy.max`` on a ``(jaccard, -id)`` struct (map-side
+    combine; a hot batch row matching millions of boilerplate corpus rows
+    collapses per input task, never on one window task).
+
+    Persist lifecycle: the batch signature frame is cached via
+    ``session.managed_persist`` and freed by the NEXT registry-query build;
+    direct library callers in a long-lived session should wrap calls in
+    ``session.persist_scope()`` (or call ``release_persisted()``) after
+    consuming the result.
+    """
+    batch_id_col = batch_id_col or id_col
+    batch_text_col = batch_text_col or text_col
+    from instructionspipe_spark.session import (
+        broadcast_if_small,
+        ensure_parallelism,
+        managed_persist,
+    )
+
+    rows_per_band = num_perm // bands
+    corpus = ensure_parallelism(corpus)
+    if corpus_store is None:
+        corpus_store = minhash_band_store(
+            corpus, id_col, text_col, num_perm=num_perm, bands=bands, ngram=ngram, engine=engine
+        )
+    sig = minhash_signature(F.col(batch_text_col), num_perm=num_perm, ngram=ngram, engine=engine)
+    batch_sig = managed_persist(
+        batch.select(F.col(batch_id_col).alias("__id"), sig.alias("__sig"))
+    )
+    bb = _banded_frame(batch_sig, bands, rows_per_band).select(
+        F.col("__id").alias("__batch_id"), "__band_idx", "__band_hash"
+    )
+    pairs = (
+        corpus_store.join(broadcast_if_small(bb), ["__band_idx", "__band_hash"])
+        .select(F.col("__batch_id").alias("batch_id"), F.col("__id").alias("corpus_id"))
+        .distinct()
+    )
+    nrm_c = corpus.select(
+        F.col(id_col).alias("corpus_id"), shingle_normalize(F.col(text_col)).alias("__nc")
+    )
+    nrm_b = batch.select(
+        F.col(batch_id_col).alias("batch_id"),
+        shingle_normalize(F.col(batch_text_col)).alias("__nb"),
+    )
+    verified = (
+        pairs.join(nrm_c, "corpus_id")
+        .join(broadcast_if_small(nrm_b), "batch_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(_jaccard_kernel(ngram)(F.col("__nb"), F.col("__nc")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    best = verified.groupBy("batch_id").agg(
+        F.max(F.struct(F.col("jaccard"), (-F.col("corpus_id")).alias("__neg_id"))).alias("__m")
+    )
+    return (
+        batch.select(F.col(batch_id_col).alias("batch_id"))
+        .join(best, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias(batch_id_col),
+            (-F.col("__m.__neg_id")).alias("dup_of"),
+            F.col("__m.jaccard").alias("jaccard"),
+            F.col("__m").isNull().alias("kept"),
+        )
+    )
+
+
 def simhash(text: Column, bits: int = 32, ngram: int = 3, engine: str = "arrow") -> Column:
     """SimHash fingerprint as a BIGINT built from ``bits`` bit-votes.
 

@@ -4175,3 +4175,59 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("char_entropy", "doc_id")
         .limit(100)
     )
+
+
+def _incremental_dedup_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows_per_band = num_perm // bands
+    band_exprs = ", ".join(
+        f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sb.__shingles, sc.__shingles)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sb.__shingles, sc.__shingles)))"
+    )
+    return (
+        "WITH" + _minhash_base_cte(num_perm) + f""",
+    banded AS (
+        SELECT doc_id, u.b AS band_idx, u.h AS band_hash
+        FROM sig, UNNEST([{band_exprs}]) AS t(u)
+    ),
+    pairs AS (
+        SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        FROM banded c
+        JOIN banded b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+        WHERE c.doc_id % 10 != 7 AND b.doc_id % 10 = 7
+    ),
+    verified AS (
+        SELECT p.batch_id, p.corpus_id, ROUND({jac}, 6) AS jaccard
+        FROM pairs p
+        JOIN sh sc ON sc.doc_id = p.corpus_id
+        JOIN sh sb ON sb.doc_id = p.batch_id
+        WHERE ROUND({jac}, 6) >= {threshold!r}
+    ),
+    best AS (
+        SELECT batch_id, corpus_id AS dup_of, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY batch_id
+                                  ORDER BY jaccard DESC, corpus_id) AS rn
+        FROM verified
+    )
+    SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NULL AS kept
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.batch_id = d.doc_id
+    """
+    )
+
+
+@query("incremental_batch_dedup", oracle=_incremental_dedup_oracle())
+def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission (operators/dedup.py:incremental_minhash_dedup):
+    documents with doc_id % 10 == 7 play the nightly batch, the rest the
+    accumulated corpus. Every batch row gets a verdict — its best-matching
+    corpus near-dup (max verified jaccard, min id on ties) or kept=true.
+    Corpus streams once; batch banded frame broadcasts; election is a
+    two-phase struct-max, never a window over a hot key."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 10 != 7)
+    batch = documents.filter(F.col("doc_id") % 10 == 7)
+    return ops.incremental_minhash_dedup(corpus, batch, "doc_id", "text", threshold=0.5)

@@ -895,3 +895,60 @@ def test_char_entropy_engines_and_edges(spark):
     assert rows[4]["arrow"] == 2.0 and rows[4]["nd"] == 4  # uniform over 4
     assert rows[5]["arrow"] == 0.0 and rows[5]["nd"] == 1  # single char
     assert rows[6]["arrow"] == 3.0 and rows[6]["nd"] == 8  # uniform over 8
+
+
+def test_incremental_minhash_dedup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_store,
+    )
+    from instructionspipe_spark.session import release_persisted
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the quiet green field toward the river bend every morning"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("morning", "evening")),  # near-dup family
+            (3, "completely different corpus text about spark physical plans "
+                "and adaptive query execution strategies at terabyte scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base),  # exact dup of 1 (and near 2) -> dup_of must be 1
+            (102, "a genuinely novel document mentioning nothing shared with "
+                  "any corpus entry whatsoever, discussing alpine botany"),
+            (103, ""),  # empty -> no shingles -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_minhash_dedup(corpus, batch, "doc_id", "text").collect()
+    }
+    release_persisted()
+    assert set(out) == {101, 102, 103}
+    assert out[101]["kept"] is False and out[101]["dup_of"] == 1
+    assert out[101]["jaccard"] == 1.0
+    assert out[102]["kept"] is True and out[102]["dup_of"] is None
+    assert out[103]["kept"] is True and out[103]["jaccard"] is None
+
+    # signature-store round-trip: write the corpus store to parquet, read it
+    # back, and the admission verdicts are identical (the 100 TB path).
+    store_path = str(tmp_path / "band_store.parquet")
+    minhash_band_store(corpus, "doc_id", "text").write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+    out2 = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_minhash_dedup(
+            corpus, batch, "doc_id", "text", corpus_store=store
+        ).collect()
+    }
+    release_persisted()
+    assert out2 == out
