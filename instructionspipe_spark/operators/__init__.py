@@ -48,6 +48,8 @@ from instructionspipe_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk_deterministic,
     lsh_bucketed_topk,
+    pq_topk,
+    pq_topk_deterministic,
 )
 from instructionspipe_spark.operators.asof import asof_join, range_join  # noqa: F401
 from instructionspipe_spark.operators.packing import (  # noqa: F401

@@ -430,3 +430,280 @@ def ivf_topk(
     rank_key = F.round(F.col("cosine"), rank_round) if rank_round is not None else F.col("cosine")
     w = Window.partitionBy(query_id).orderBy(F.desc(rank_key), F.asc(corpus_id))
     return joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _pq_subvectors(df: DataFrame, id_alias: str, vec_col: str, m: int) -> DataFrame:
+    """(id, __j, __sub): l2-normalized vector split into ``m`` equal
+    subvectors. Explodes the cheap subspace INDEX and slices per exploded
+    row (Generate input stays trivial; the slice runs in codegen). Raises
+    per-row when dim % m != 0 — a silent truncation would quietly change
+    every distance."""
+    from instructionspipe_spark.functions.vectors import l2_normalize
+
+    nv = df.select(F.col(id_alias), l2_normalize(F.col(vec_col)).alias("__nv")).filter(
+        F.col("__nv").isNotNull()
+    )
+    subdim = (F.size("__nv") / m).cast("int")
+    guarded = nv.select(
+        id_alias,
+        "__nv",
+        F.when(
+            F.size("__nv") % m != 0,
+            F.raise_error(F.lit(f"pq: vector dim not divisible by m={m}")),
+        ).otherwise(subdim).alias("__sd"),
+    )
+    return guarded.select(
+        id_alias,
+        "__nv",
+        "__sd",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__j"),
+    ).select(
+        id_alias,
+        "__j",
+        F.slice(F.col("__nv"), F.col("__j") * F.col("__sd") + 1, F.col("__sd")).alias("__sub"),
+    )
+
+
+def _pq_l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_encode_score(
+    csub: DataFrame,
+    qsub: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    n_codes: int,
+    k: int,
+    corpus_id: str,
+    query_id: str,
+    assign_round: int = 6,
+    rank_round: int = 6,
+) -> DataFrame:
+    """Shared PQ machinery: encode the corpus against ``codebook``
+    ((__j, __code, __cw) — m*n_codes tiny rows, broadcast), build each
+    query's asymmetric-distance lookup table, score via LUT sums, rank.
+
+    Scale shape: encoding is one broadcast join + two-phase ``groupBy.min``
+    on a (rounded-d2, code) struct — map-side combine, no window over the
+    corpus; the corpus never shuffles except hashed by its own id to
+    assemble the m-code array (and that exchange IS the compressed
+    representation a 100 TB pipeline persists: m bytes/vector instead of
+    4*dim). Scoring joins the broadcast per-query LUT and sums m array
+    lookups per (query, vector) in codegen; the final top-k is a rank<=k
+    window (WindowGroupLimit: per-partition pre-truncation, skew-safe)."""
+    enc = (
+        csub.join(F.broadcast(codebook), "__j")
+        .select(
+            corpus_id,
+            "__j",
+            F.struct(
+                F.round(_pq_l2sq(F.col("__sub"), F.col("__cw")), assign_round).alias("__d2"),
+                F.col("__code"),
+            ).alias("__s"),
+        )
+        .groupBy(corpus_id, "__j")
+        .agg(F.min("__s").alias("__m"))
+        .select(corpus_id, "__j", F.col("__m.__code").alias("__code"))
+    )
+    codes = enc.groupBy(corpus_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__j", "__code"))), lambda s: s["__code"]
+        ).alias("__codes")
+    )
+    lut = (
+        qsub.join(F.broadcast(codebook), "__j")
+        .select(
+            query_id,
+            (F.col("__j") * n_codes + F.col("__code")).alias("__idx"),
+            F.round(_pq_l2sq(F.col("__sub"), F.col("__cw")), assign_round).alias("__d2"),
+        )
+        .groupBy(query_id)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__d2"))), lambda s: s["__d2"]
+            ).alias("__lut")
+        )
+    )
+    scored = codes.crossJoin(F.broadcast(lut)).select(
+        query_id,
+        corpus_id,
+        F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("__lut"),
+                    (j * n_codes + F.element_at(F.col("__codes"), (j + 1).cast("int")) + 1).cast(
+                        "int"
+                    ),
+                ),
+            ),
+            rank_round,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _pq_rerank(
+    shortlist: DataFrame,
+    corpus_nv: DataFrame,
+    query_nv: DataFrame,
+    k: int,
+    corpus_id: str,
+    query_id: str,
+    rerank_round: int = 4,
+) -> DataFrame:
+    """Exact-cosine rerank of the PQ/ADC shortlist — the standard second
+    stage (Jégou et al. 2011 §IV): full-precision vectors are touched for
+    only ``shortlist`` rows per query (bounded by the rerank width), so the
+    bytes story survives: the SCAN reads m-byte codes, the rerank reads
+    R << corpus full vectors via one equi-join on the corpus id."""
+    from instructionspipe_spark.functions.vectors import dot_product
+
+    exact = (
+        shortlist.join(corpus_nv, corpus_id)
+        .join(F.broadcast(query_nv), query_id)
+        .select(
+            query_id,
+            corpus_id,
+            F.round(dot_product(F.col("__cnv"), F.col("__qnv")), rerank_round).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_topk_deterministic(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 4,
+    n_codes: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    assign_round: int = 6,
+    rank_round: int = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with a *data-seeded
+    deterministic* codebook: subspace ``j``'s codewords are the ``j``-th
+    subvectors of the ``n_codes`` lowest-id corpus vectors — no Lloyd
+    iterations, so encoding and ADC scoring are pure fixed-order float
+    arithmetic and the whole operator is SQL-expressible. Oracle-gated twin
+    of :func:`pq_topk` (trained codebooks, better cells, engine-specific).
+
+    Why PQ at 100 TB: the persisted representation is ``m`` small codes per
+    vector (m bytes at n_codes<=256) instead of 4*dim bytes — 64x smaller at
+    dim=64/m=4 — and query scoring touches only the code arrays plus an
+    m*n_codes LUT per query, never the raw floats. This is the memory-bound
+    regime where brute force dies; IVF bounds candidates, PQ bounds bytes.
+    Rounding discipline: assignment and ADC rank on ROUND(d2, 6) with
+    code/vector-id tie breaks, so engines differing in last-ulp float
+    formatting encode and rank identically.
+    """
+    from instructionspipe_spark.session import ensure_parallelism, managed_persist
+
+    corpus = ensure_parallelism(corpus)
+    # Read by TWO branches (codebook seed join + encoding) — persist the
+    # narrow subvector frame rather than normalizing the corpus twice.
+    csub = managed_persist(
+        _pq_subvectors(corpus.select(F.col(corpus_id), F.col(corpus_vec)), corpus_id, corpus_vec, m)
+    )
+    # Codewords: subvectors of the n_codes lowest-id corpus vectors; code =
+    # rank of that id (tiny n_codes*m frame — the single-partition window is
+    # over n_codes rows, executed once).
+    seed_ids = (
+        corpus.select(F.col(corpus_id))
+        .orderBy(corpus_id)
+        .limit(n_codes)
+        .withColumn("__code", F.row_number().over(Window.orderBy(corpus_id)) - 1)
+    )
+    codebook = (
+        csub.join(F.broadcast(seed_ids), corpus_id)
+        .select("__j", "__code", F.col("__sub").alias("__cw"))
+    )
+    qsub = _pq_subvectors(
+        queries.select(F.col(query_id), F.col(query_vec)), query_id, query_vec, m
+    )
+    if rerank is None:
+        return _pq_encode_score(
+            csub, qsub, codebook, m, n_codes, k, corpus_id, query_id, assign_round, rank_round
+        )
+    shortlist = _pq_encode_score(
+        csub, qsub, codebook, m, n_codes, rerank, corpus_id, query_id, assign_round, rank_round
+    ).select(query_id, corpus_id)
+    from instructionspipe_spark.functions.vectors import l2_normalize
+
+    corpus_nv = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"))
+    query_nv = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qnv"))
+    return _pq_rerank(shortlist, corpus_nv, query_nv, k, corpus_id, query_id)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    m: int = 4,
+    n_codes: int = 8,
+    seed: int = 42,
+    max_iter: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    assign_round: int = 6,
+    rank_round: int = 6,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Production PQ ANN: per-subspace codebooks trained with
+    ``pyspark.ml`` KMeans over the corpus subvectors (m models of n_codes
+    centroids; at 100 TB the fit runs on a corpus SAMPLE — the model is
+    m*n_codes*subdim floats regardless of corpus size). The iterative
+    trainer makes this non-SQL-expressible; determinism comes from the
+    fixed seed. Encoding/ADC/ranking are byte-identical machinery to the
+    oracle-gated :func:`pq_topk_deterministic`; the recall floor vs brute
+    force is pytest-gated (tests/test_param_fuzz.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from instructionspipe_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    csub = _pq_subvectors(corpus.select(F.col(corpus_id), F.col(corpus_vec)), corpus_id, corpus_vec, m)
+    csub_ml = csub.withColumn("__mlvec", array_to_vector(F.col("__sub").cast("array<double>")))
+    cb_rows = []
+    for j in range(m):
+        model = KMeans(
+            k=n_codes, seed=seed + j, maxIter=max_iter,
+            featuresCol="__mlvec", predictionCol="__cell",
+        ).fit(csub_ml.filter(F.col("__j") == j))
+        for code, center in enumerate(model.clusterCenters()):
+            cb_rows.append((j, code, [float(x) for x in center]))
+    spark = corpus.sparkSession
+    codebook = spark.createDataFrame(cb_rows, ["__j", "__code", "__cw"]).select(
+        "__j", "__code", F.col("__cw").cast("array<double>").alias("__cw")
+    )
+    qsub = _pq_subvectors(
+        queries.select(F.col(query_id), F.col(query_vec)), query_id, query_vec, m
+    )
+    if rerank is None:
+        return _pq_encode_score(
+            csub, qsub, codebook, m, n_codes, k, corpus_id, query_id, assign_round, rank_round
+        )
+    shortlist = _pq_encode_score(
+        csub, qsub, codebook, m, n_codes, rerank, corpus_id, query_id, assign_round, rank_round
+    ).select(query_id, corpus_id)
+    from instructionspipe_spark.functions.vectors import l2_normalize
+
+    corpus_nv = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"))
+    query_nv = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qnv"))
+    return _pq_rerank(shortlist, corpus_nv, query_nv, k, corpus_id, query_id)

@@ -4231,3 +4231,92 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = documents.filter(F.col("doc_id") % 10 != 7)
     batch = documents.filter(F.col("doc_id") % 10 == 7)
     return ops.incremental_minhash_dedup(corpus, batch, "doc_id", "text", threshold=0.5)
+
+
+def _pq_topk_oracle(m: int = 4, n_codes: int = 8, k: int = 5, rerank: int = 50) -> str:
+    """Oracle for the deterministic PQ: codewords are subvectors of the
+    ``n_codes`` lowest-id vectors; encode/ADC rank on ROUND(d2, 6) with
+    code / vec_id tie breaks; exact-cosine rerank of the ADC shortlist —
+    the exact rules of pq_topk_deterministic, by construction."""
+    sd = f"(len(__nv) // {m})"
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, len(s.sv) + 1),"
+        " i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS DOUBLE)"
+    )
+    d2q = (
+        "CAST(list_sum(list_transform(range(1, len(q.sv) + 1),"
+        " i -> (q.sv[i] - c.cw[i]) * (q.sv[i] - c.cw[i]))) AS DOUBLE)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, __nv
+        FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {n_codes}
+    ),
+    sub AS (
+        SELECT vec_id, t.j, __nv[t.j * {sd} + 1 : (t.j + 1) * {sd}] AS sv
+        FROM v, UNNEST(range({m})) AS t(j)
+    ),
+    cbsub AS (
+        SELECT t.j, code, __nv[t.j * {sd} + 1 : (t.j + 1) * {sd}] AS cw
+        FROM cb, UNNEST(range({m})) AS t(j)
+    ),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT s.vec_id, s.j, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                                      ORDER BY ROUND({d2}, 6), c.code) AS rn
+            FROM sub s JOIN cbsub c ON s.j = c.j
+        ) WHERE rn = 1
+    ),
+    qsub AS (SELECT vec_id AS query_id, j, sv FROM sub WHERE vec_id < 3),
+    lut AS (
+        SELECT q.query_id, q.j, c.code, ROUND({d2q}, 6) AS d2
+        FROM qsub q JOIN cbsub c ON q.j = c.j
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id, ROUND(SUM(l.d2), 6) AS adc_dist
+        FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+        GROUP BY l.query_id, e.vec_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {rerank}
+    ),
+    exact AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(CAST(list_sum(list_transform(range(1, len(a.__nv) + 1),
+                                                  i -> q.__nv[i] * a.__nv[i])) AS DOUBLE), 4) AS cosine
+        FROM short s
+        JOIN v a ON a.vec_id = s.vec_id
+        JOIN v q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM exact
+    ) WHERE rank <= {k}
+    """
+
+
+@query("similarity_pq_topk", oracle=_pq_topk_oracle())
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact rerank (operators/similarity.py
+    pq_topk_deterministic): corpus compressed to m=4 codes/vector, ADC
+    shortlist of 50 per query, full-precision cosine only on the shortlist.
+    Oracle-gated via the data-seeded deterministic codebook; the KMeans-
+    trained twin (pq_topk) stays library-only with a pytest recall floor."""
+    from instructionspipe_spark.operators.similarity import pq_topk_deterministic
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk_deterministic(
+        embeddings, queries_df, k=5, m=4, n_codes=8, rerank=50
+    ).select("query_id", "vec_id", "cosine", "rank")

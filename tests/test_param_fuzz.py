@@ -330,3 +330,49 @@ def test_lm_block_manifest_param_space(spark, documents, duck, capacity):
     )
     got = lm_block_manifest(with_tok, "doc_id", "n_tokens", "lang", capacity=capacity)
     assert_df_equal(got, duck.query(_lm_block_manifest_oracle(capacity)))
+
+
+def test_pq_recall_floor(spark):
+    """Trained-codebook PQ + exact rerank (operators/similarity.py pq_topk)
+    holds a recall floor vs brute force — parameter regressions surface as
+    QUALITY failures, not just determinism ones. Measured at these params
+    (m=4, n_codes=32, rerank=200, sf0.01/2000 vecs): mean 0.971, min 0.80;
+    floors leave margin for none (KMeans seed is fixed — the run is
+    deterministic) but document intent."""
+    from instructionspipe_spark.operators.similarity import brute_force_topk, pq_topk
+    from instructionspipe_spark.session import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 37 == 0).limit(16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = _topk_sets(brute_force_topk(emb, q, k=5))
+    got = _topk_sets(pq_topk(emb, q, k=5, m=4, n_codes=32, rerank=200))
+    release_persisted()
+    recalls = [len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"pq mean recall@5 {mean_recall:.3f} < 0.9 floor"
+    assert min(recalls) >= 0.7, f"pq min recall@5 {min(recalls):.3f} < 0.7 floor"
+
+
+def test_pq_deterministic_self_retrieval(spark):
+    """Every query retrieves itself at rank 1 with cosine 1.0 after rerank,
+    and a seed query (vec_id < n_codes, i.e. its subvectors ARE codewords)
+    has ADC distance exactly 0 to itself in the no-rerank path."""
+    from instructionspipe_spark.operators.similarity import pq_topk_deterministic
+    from instructionspipe_spark.session import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id").isin(0, 7, 123)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk_deterministic(emb, q, k=5, m=4, n_codes=8, rerank=50).collect()
+    release_persisted()
+    r1 = {r["query_id"]: r for r in out if r["rank"] == 1}
+    assert set(r1) == {0, 7, 123}
+    for qid, r in r1.items():
+        assert r["vec_id"] == qid and r["cosine"] == 1.0
+    adc = pq_topk_deterministic(emb, q, k=5, m=4, n_codes=8).collect()
+    release_persisted()
+    seed_self = [r for r in adc if r["query_id"] == 7 and r["vec_id"] == 7]
+    assert seed_self and seed_self[0]["adc_dist"] == 0.0
