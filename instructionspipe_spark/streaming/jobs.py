@@ -249,3 +249,109 @@ def stateful_running_dedup_count_tws(
             timeMode="None",
         )
     )
+
+
+def streaming_band_matches(
+    stream_df: DataFrame,
+    corpus: DataFrame,
+    corpus_store: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_id_col: str | None = None,
+    corpus_text_col: str | None = None,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.incremental_minhash_dedup``: a
+    document STREAM is admitted against the static persisted band store
+    (``operators.dedup.minhash_band_store`` read back from parquet), emitting
+    one verified near-dup match ``(id, dup_of, jaccard)`` per (stream doc,
+    corpus doc) pair that clears ``threshold`` — the quarantine stream a
+    continuously-ingesting pipeline routes to review while clean docs flow
+    on. A pair sharing several LSH bands emits up to ``bands`` IDENTICAL
+    rows (the batch operator's ``.distinct()`` is a streaming aggregation,
+    deliberately not forced here); consumers needing set semantics
+    exact-dedup downstream.
+
+    Append-mode-safe BY CONSTRUCTION: per-row signature/banding (Arrow
+    kernel + explode), two stream-static equi-joins (band bucket, then the
+    corpus text for verification), and a per-row jaccard filter — no
+    streaming aggregation, no watermark requirement, so it composes with
+    any downstream sink mode. Best-match election (the batch operator's
+    groupBy) is deliberately left to the consumer: an aggregation here
+    would force update mode + watermarks on every user of the stream.
+
+    Scale shape: the band store is the STATIC side of both joins — Spark
+    re-plans the static side per micro-batch, so a store refreshed by a
+    nightly append is picked up without restart; candidates exist only
+    across sides; the per-batch cost is the batch's own signatures plus
+    candidate verification, never a corpus re-scan."""
+    from instructionspipe_spark.operators.dedup import _jaccard_kernel, minhash_signature
+    from instructionspipe_spark.functions.text import shingle_normalize
+
+    corpus_id_col = corpus_id_col or id_col
+    corpus_text_col = corpus_text_col or text_col
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram, engine=engine)
+    # Banding inlined (not _banded_frame) so the normalized text rides along:
+    # re-deriving it via a second join back to stream_df would be a
+    # stream-STREAM join, which demands watermarks. Same stage discipline —
+    # explode the cheap band index, hash the slice per exploded row.
+    base = stream_df.select(
+        F.col(id_col).alias("__stream_id"),
+        shingle_normalize(F.col(text_col)).alias("__ns"),
+        sig.alias("__sig"),
+    )
+    banded = (
+        base.select(
+            "__stream_id",
+            "__ns",
+            "__sig",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band_idx"),
+        )
+        .select(
+            "__stream_id",
+            "__ns",
+            "__band_idx",
+            F.md5(
+                F.concat(
+                    F.col("__band_idx").cast("string"),
+                    F.lit("|"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("__sig"),
+                                F.col("__band_idx") * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    ),
+                )
+            ).alias("__band_hash"),
+        )
+        .filter(F.col("__band_hash").isNotNull())
+    )
+    nrm_c = corpus.select(
+        F.col(corpus_id_col).alias("__corpus_id"),
+        shingle_normalize(F.col(corpus_text_col)).alias("__nc"),
+    )
+    return (
+        banded.join(
+            corpus_store.select(
+                F.col("__id").alias("__corpus_id"), "__band_idx", "__band_hash"
+            ),
+            ["__band_idx", "__band_hash"],
+        )
+        .join(nrm_c, "__corpus_id")
+        .select(
+            F.col("__stream_id").alias(id_col),
+            F.col("__corpus_id").alias("dup_of"),
+            F.round(_jaccard_kernel(ngram)(F.col("__ns"), F.col("__nc")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )

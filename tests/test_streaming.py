@@ -337,3 +337,74 @@ def test_streaming_corpus_prep_end_to_end(spark, tmp_path):
     run_once()
     out2 = spark.read.parquet(sink).collect()
     assert sorted(r["id"] for r in out2) == [1, 3, 4]
+
+
+def test_streaming_band_matches_vs_batch(spark, tmp_path):
+    """The streaming admission twin emits exactly the batch operator's
+    verified pair set (up to band multiplicity): stream docs through two
+    micro-batches against a parquet band store and compare with
+    incremental_minhash_dedup over the same frames."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from instructionspipe_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_store,
+    )
+    from instructionspipe_spark.session import release_persisted
+    from instructionspipe_spark.streaming.jobs import (
+        read_jsonl_stream,
+        streaming_band_matches,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "through the quiet green field toward the river bend every morning"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "totally unrelated corpus entry about catalyst optimizer rules "
+                "and whole stage code generation in distributed sql engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    store_path = str(tmp_path / "store.parquet")
+    minhash_band_store(corpus, "doc_id", "text").write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    batch_rows = [
+        {"doc_id": 101, "text": base},                      # dup of 1
+        {"doc_id": 102, "text": base.replace("morning", "evening")},  # near-dup of 1
+        {"doc_id": 103, "text": "novel text with zero overlap mentioning alpine "
+                                "botany and glacier meltwater chemistry"},
+    ]
+    src = str(tmp_path / "src")
+    _write_jsonl(src, "b0.jsonl", batch_rows[:2])
+    _write_jsonl(src, "b1.jsonl", batch_rows[2:])
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = read_jsonl_stream(spark, src, schema, max_files_per_trigger=1)
+    matches = streaming_band_matches(stream, corpus, store, "doc_id", "text")
+    _run_to_memory(matches, "t_band_matches")
+    got = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in spark.sql("SELECT * FROM t_band_matches").collect()
+    }
+
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in batch_rows], ["doc_id", "text"]
+    )
+    verdicts = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_minhash_dedup(corpus, batch_df, "doc_id", "text").collect()
+    }
+    release_persisted()
+    # batch says: 101 and 102 are dups of 1; 103 kept
+    assert verdicts[101]["dup_of"] == 1 and verdicts[102]["dup_of"] == 1
+    assert verdicts[103]["kept"] is True
+    # stream emitted the same pairs (with identical jaccard), nothing else
+    assert {(i, d) for i, d, _ in got} == {(101, 1), (102, 1)}
+    for doc_id, dup_of, jac in got:
+        assert jac == verdicts[doc_id]["jaccard"]
