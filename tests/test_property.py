@@ -167,3 +167,46 @@ def test_simhash_near_dedup_radius_monotone(spark, texts):
         norm = t.replace(" ", "")
         if len(ids) > 1 and len(norm) >= 3:
             assert set(ids[1:]) & s3 == set()
+
+
+def test_incremental_dedup_invariants(spark):
+    """Admission invariants: (1) every non-kept row clears the threshold and
+    names a corpus id; (2) re-admitting the corpus against itself flags
+    every row as an exact dup (identical text shares ALL bands, so the
+    candidate is guaranteed, and jaccard is exactly 1.0); (3) an empty
+    batch yields an empty verdict frame."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import incremental_minhash_dedup
+    from instructionspipe_spark.session import release_persisted
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    out = incremental_minhash_dedup(corpus, batch, "doc_id", "text", threshold=0.5).collect()
+    release_persisted()
+    assert len(out) == batch.count()
+    for r in out:
+        if not r["kept"]:
+            assert r["jaccard"] >= 0.5 and r["dup_of"] is not None
+        else:
+            assert r["dup_of"] is None and r["jaccard"] is None
+
+    # self-admission: every corpus doc is its own exact dup (dup_of may be
+    # an earlier EQUAL-text doc, so assert jaccard==1.0, not id equality)
+    self_out = incremental_minhash_dedup(
+        corpus, corpus.selectExpr("doc_id + 1000000 AS doc_id", "text"),
+        "doc_id", "text", threshold=0.5,
+    ).collect()
+    release_persisted()
+    assert all(not r["kept"] and r["jaccard"] == 1.0 for r in self_out)
+
+    empty = incremental_minhash_dedup(
+        corpus, batch.filter(F.lit(False)), "doc_id", "text"
+    ).collect()
+    release_persisted()
+    assert empty == []
