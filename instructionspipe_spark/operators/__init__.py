@@ -47,6 +47,7 @@ from instructionspipe_spark.operators.splitting import assign_shards, grouped_sp
 from instructionspipe_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_topk_deterministic,
+    ivfadc_topk,
     lsh_bucketed_topk,
     pq_topk,
     pq_topk_deterministic,

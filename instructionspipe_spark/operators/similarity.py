@@ -483,6 +483,7 @@ def _pq_encode_score(
     query_id: str,
     assign_round: int = 6,
     rank_round: int = 6,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Shared PQ machinery: encode the corpus against ``codebook``
     ((__j, __code, __cw) — m*n_codes tiny rows, broadcast), build each
@@ -495,7 +496,12 @@ def _pq_encode_score(
     representation a 100 TB pipeline persists: m bytes/vector instead of
     4*dim). Scoring joins the broadcast per-query LUT and sums m array
     lookups per (query, vector) in codegen; the final top-k is a rank<=k
-    window (WindowGroupLimit: per-partition pre-truncation, skew-safe)."""
+    window (WindowGroupLimit: per-partition pre-truncation, skew-safe).
+
+    ``candidates`` (a (query_id, corpus_id) pair frame) restricts scoring to
+    those pairs instead of the full query x corpus product — the IVFADC
+    hook: an IVF cell probe bounds the candidates, PQ codes bound the
+    bytes."""
     enc = (
         csub.join(F.broadcast(codebook), "__j")
         .select(
@@ -529,7 +535,12 @@ def _pq_encode_score(
             ).alias("__lut")
         )
     )
-    scored = codes.crossJoin(F.broadcast(lut)).select(
+    paired = (
+        codes.crossJoin(F.broadcast(lut))
+        if candidates is None
+        else candidates.join(codes, corpus_id).join(F.broadcast(lut), query_id)
+    )
+    scored = paired.select(
         query_id,
         corpus_id,
         F.round(
@@ -707,3 +718,134 @@ def pq_topk(
     corpus_nv = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"))
     query_nv = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qnv"))
     return _pq_rerank(shortlist, corpus_nv, query_nv, k, corpus_id, query_id)
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    rerank: int | None = 50,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    assign_round: int = 6,
+    rank_round: int = 6,
+    trained: bool = False,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V): the full large-scale ANN composition —
+    an IVF coarse quantizer bounds WHICH vectors each query scores
+    (n_probe/n_cells of the corpus) and PQ codes bound the BYTES each score
+    touches (m codes instead of 4*dim floats), with an exact-cosine rerank
+    of the shortlist. This is the layout a 100 TB vector corpus actually
+    ships: cells as partition keys, codes as the persisted scan
+    representation, raw vectors read only for rerank rows.
+
+    Two quantizer modes. Default (``trained=False``): data-seeded
+    deterministic — centroids = the ``n_cells`` lowest-id vectors,
+    codebooks = subvectors of the ``n_codes`` lowest-id vectors, all
+    ranking on pre-rounded keys with id tie breaks, so behavior is
+    engine-reproducible without any model state; recall is then CAPPED by
+    how well those arbitrary vectors cover the data (measured mean 0.657 on
+    sf0.01 at cells=8/probe=3 — the candidate ceiling, which ADC+rerank
+    attains exactly). ``trained=True``: ``pyspark.ml`` KMeans for both the
+    coarse cells (full vectors) and the per-subspace codebooks — the
+    production configuration, recall-floor-gated in pytest. Candidate
+    generation is one equi-join on the cell id (query probes broadcast);
+    ADC scoring joins the candidate pairs to the codes and the per-query
+    LUT; no cross join anywhere.
+    """
+    from instructionspipe_spark.functions.vectors import l2_normalize
+    from instructionspipe_spark.session import ensure_parallelism, managed_persist
+
+    corpus = ensure_parallelism(corpus)
+    c = corpus.select(F.col(corpus_id), l2_normalize(F.col(corpus_vec)).alias("__cnv"))
+    if trained:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        c_ml = c.withColumn("__mlvec", array_to_vector(F.col("__cnv").cast("array<double>")))
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=max_iter,
+            featuresCol="__mlvec", predictionCol="__cell",
+        ).fit(c_ml)
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+            ["__cell", "__cent"],
+        ).select("__cell", F.col("__cent").cast("array<double>").alias("__cent"))
+    else:
+        cent = (
+            c.orderBy(corpus_id)
+            .limit(n_cells)
+            .select(F.col(corpus_id).alias("__cell"), F.col("__cnv").alias("__cent"))
+        )
+
+    def assign(df: DataFrame, id_col: str, vec_col: str, n_keep: int) -> DataFrame:
+        from instructionspipe_spark.functions.vectors import dot_product
+
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(id_col),
+            F.col("__cell"),
+            F.round(dot_product(F.col(vec_col), F.col("__cent")), assign_round).alias("__acos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__acos"), F.asc("__cell"))
+        return (
+            scored.withColumn("__ar", F.row_number().over(w))
+            .filter(F.col("__ar") <= n_keep)
+            .select(id_col, "__cell")
+        )
+
+    q = queries.select(F.col(query_id), l2_normalize(F.col(query_vec)).alias("__qnv"))
+    candidates = assign(c, corpus_id, "__cnv", 1).join(
+        F.broadcast(assign(q, query_id, "__qnv", n_probe)), "__cell"
+    ).select(query_id, corpus_id)
+
+    csub = managed_persist(
+        _pq_subvectors(corpus.select(F.col(corpus_id), F.col(corpus_vec)), corpus_id, corpus_vec, m)
+    )
+    if trained:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        csub_ml = csub.withColumn("__mlvec", array_to_vector(F.col("__sub").cast("array<double>")))
+        cb_rows = []
+        for j in range(m):
+            mdl = KMeans(
+                k=n_codes, seed=seed + 1 + j, maxIter=max_iter,
+                featuresCol="__mlvec", predictionCol="__cell",
+            ).fit(csub_ml.filter(F.col("__j") == j))
+            for code, center in enumerate(mdl.clusterCenters()):
+                cb_rows.append((j, code, [float(x) for x in center]))
+        codebook = corpus.sparkSession.createDataFrame(
+            cb_rows, ["__j", "__code", "__cw"]
+        ).select("__j", "__code", F.col("__cw").cast("array<double>").alias("__cw"))
+    else:
+        seed_ids = (
+            corpus.select(F.col(corpus_id))
+            .orderBy(corpus_id)
+            .limit(n_codes)
+            .withColumn("__code", F.row_number().over(Window.orderBy(corpus_id)) - 1)
+        )
+        codebook = csub.join(F.broadcast(seed_ids), corpus_id).select(
+            "__j", "__code", F.col("__sub").alias("__cw")
+        )
+    qsub = _pq_subvectors(
+        queries.select(F.col(query_id), F.col(query_vec)), query_id, query_vec, m
+    )
+    shortlist_k = rerank if rerank is not None else k
+    adc = _pq_encode_score(
+        csub, qsub, codebook, m, n_codes, shortlist_k, corpus_id, query_id,
+        assign_round, rank_round, candidates=candidates,
+    )
+    if rerank is None:
+        return adc
+    return _pq_rerank(
+        adc.select(query_id, corpus_id), c, q.select(query_id, "__qnv"), k, corpus_id, query_id
+    )

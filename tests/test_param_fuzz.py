@@ -376,3 +376,52 @@ def test_pq_deterministic_self_retrieval(spark):
     release_persisted()
     seed_self = [r for r in adc if r["query_id"] == 7 and r["vec_id"] == 7]
     assert seed_self and seed_self[0]["adc_dist"] == 0.0
+
+
+def test_ivfadc_recall_floor(spark):
+    """Trained IVFADC (KMeans cells + per-subspace codebooks + rerank) holds
+    a recall floor vs brute force. Measured at cells=8/probe=4/codes=32/
+    rerank=200 on sf0.01: mean 0.871, min 0.40 — the coarse-cell probe is
+    the ceiling on these UNCLUSTERED synthetic embeddings (candidate-set
+    recall == final recall; ADC+rerank loses nothing), so floors are set
+    against the probe ceiling, not against the PQ family's 0.97."""
+    from instructionspipe_spark.operators.similarity import brute_force_topk, ivfadc_topk
+    from instructionspipe_spark.session import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 37 == 0).limit(16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = _topk_sets(brute_force_topk(emb, q, k=5))
+    got = _topk_sets(
+        ivfadc_topk(emb, q, k=5, n_cells=8, n_probe=4, n_codes=32, rerank=200, trained=True)
+    )
+    release_persisted()
+    recalls = [len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.75, f"ivfadc mean recall@5 {mean_recall:.3f} < 0.75 floor"
+    assert min(recalls) >= 0.3, f"ivfadc min recall@5 {min(recalls):.3f} < 0.3 floor"
+
+
+def test_ivfadc_probe_all_equals_pq(spark):
+    """Probing every cell degenerates IVFADC to plain PQ over the full
+    corpus — the two code paths must agree EXACTLY (same codebook seeds,
+    same rounding, same tie breaks), which pins the candidate-join
+    restriction as lossless."""
+    from instructionspipe_spark.operators.similarity import (
+        ivfadc_topk,
+        pq_topk_deterministic,
+    )
+    from instructionspipe_spark.session import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 97 == 0).limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pq = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+          pq_topk_deterministic(emb, q, k=5, m=4, n_codes=8, rerank=60).collect()}
+    release_persisted()
+    ivf = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+           ivfadc_topk(emb, q, k=5, n_cells=8, n_probe=8, m=4, n_codes=8, rerank=60).collect()}
+    release_persisted()
+    assert pq == ivf
