@@ -4320,3 +4320,122 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_deterministic(
         embeddings, queries_df, k=5, m=4, n_codes=8, rerank=50
     ).select("query_id", "vec_id", "cosine", "rank")
+
+
+def _ivfadc_topk_oracle(
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 5,
+    rerank: int = 50,
+) -> str:
+    """Oracle for the deterministic IVFADC: IVF CTEs (centroids = lowest-id
+    vectors, rounded-cosine assignment) restrict the candidate pairs; PQ
+    CTEs (codebook = lowest-id subvectors, rounded-d2 encode, LUT-sum ADC)
+    rank them; exact-cosine rerank of the shortlist — the exact rules of
+    ivfadc_topk(trained=False), by construction."""
+    sd = f"(len(__nv) // {m})"
+    dotc = "CAST(list_sum(list_transform(range(1, len(a.__nv) + 1), i -> a.__nv[i] * c.__cent[i])) AS DOUBLE)"
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, len(s.sv) + 1),"
+        " i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS DOUBLE)"
+    )
+    d2q = (
+        "CAST(list_sum(list_transform(range(1, len(q.sv) + 1),"
+        " i -> (q.sv[i] - c.cw[i]) * (q.sv[i] - c.cw[i]))) AS DOUBLE)"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cell, __nv AS __cent
+        FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {n_cells}
+    ),
+    assigned AS (
+        SELECT a.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({dotc}, 6) DESC, c.cell ASC) AS __ar
+        FROM v a CROSS JOIN cent c
+    ),
+    c_cells AS (SELECT vec_id, cell FROM assigned WHERE __ar = 1),
+    q_probes AS (
+        SELECT vec_id AS query_id, cell FROM assigned
+        WHERE vec_id < 3 AND __ar <= {n_probe}
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id
+        FROM c_cells a JOIN q_probes q ON a.cell = q.cell
+    ),
+    cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code, __nv
+        FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {n_codes}
+    ),
+    sub AS (
+        SELECT vec_id, t.j, __nv[t.j * {sd} + 1 : (t.j + 1) * {sd}] AS sv
+        FROM v, UNNEST(range({m})) AS t(j)
+    ),
+    cbsub AS (
+        SELECT t.j, code, __nv[t.j * {sd} + 1 : (t.j + 1) * {sd}] AS cw
+        FROM cb, UNNEST(range({m})) AS t(j)
+    ),
+    enc AS (
+        SELECT vec_id, j, code FROM (
+            SELECT s.vec_id, s.j, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                                      ORDER BY ROUND({d2}, 6), c.code) AS rn
+            FROM sub s JOIN cbsub c ON s.j = c.j
+        ) WHERE rn = 1
+    ),
+    qsub AS (SELECT vec_id AS query_id, j, sv FROM sub WHERE vec_id < 3),
+    lut AS (
+        SELECT q.query_id, q.j, c.code, ROUND({d2q}, 6) AS d2
+        FROM qsub q JOIN cbsub c ON q.j = c.j
+    ),
+    adc AS (
+        SELECT l.query_id, e.vec_id, ROUND(SUM(l.d2), 6) AS adc_dist
+        FROM cand p
+        JOIN enc e ON e.vec_id = p.vec_id
+        JOIN lut l ON l.query_id = p.query_id AND l.j = e.j AND l.code = e.code
+        GROUP BY l.query_id, e.vec_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {rerank}
+    ),
+    exact AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(CAST(list_sum(list_transform(range(1, len(a.__nv) + 1),
+                                                  i -> q.__nv[i] * a.__nv[i])) AS DOUBLE), 4) AS cosine
+        FROM short s
+        JOIN v a ON a.vec_id = s.vec_id
+        JOIN v q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM exact
+    ) WHERE rank <= {k}
+    """
+
+
+@query("similarity_ivfadc_topk", oracle=_ivfadc_topk_oracle())
+def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN composition, oracle-gated (operators/similarity.py
+    ivfadc_topk, trained=False): IVF cells bound WHICH vectors each query
+    scores, PQ codes bound the BYTES per score, exact-cosine rerank of the
+    ADC shortlist. The KMeans-trained configuration stays library-only with
+    a pytest recall floor."""
+    from instructionspipe_spark.operators.similarity import ivfadc_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfadc_topk(
+        embeddings, queries_df, k=5, n_cells=8, n_probe=2, m=4, n_codes=8, rerank=50
+    ).select("query_id", "vec_id", "cosine", "rank")
