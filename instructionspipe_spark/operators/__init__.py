@@ -49,6 +49,8 @@ from instructionspipe_spark.operators.similarity import (  # noqa: F401
     ivf_topk_deterministic,
     ivfadc_topk,
     lsh_bucketed_topk,
+    pq_codebook_deterministic,
+    pq_encode,
     pq_topk,
     pq_topk_deterministic,
 )

@@ -472,6 +472,35 @@ def _pq_l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _pq_codes(
+    csub: DataFrame, codebook: DataFrame, corpus_id: str, assign_round: int = 6
+) -> DataFrame:
+    """(corpus_id, __codes): nearest-codeword index per subspace, assembled
+    into an m-element array ordered by subspace. Broadcast join + two-phase
+    groupBy.min struct election (map-side combine) + one groupBy on the
+    corpus id — and that exchange IS the compressed representation a 100 TB
+    pipeline persists (m small ints instead of 4*dim bytes of floats)."""
+    enc = (
+        csub.join(F.broadcast(codebook), "__j")
+        .select(
+            corpus_id,
+            "__j",
+            F.struct(
+                F.round(_pq_l2sq(F.col("__sub"), F.col("__cw")), assign_round).alias("__d2"),
+                F.col("__code"),
+            ).alias("__s"),
+        )
+        .groupBy(corpus_id, "__j")
+        .agg(F.min("__s").alias("__m"))
+        .select(corpus_id, "__j", F.col("__m.__code").alias("__code"))
+    )
+    return enc.groupBy(corpus_id).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__j", "__code"))), lambda s: s["__code"]
+        ).alias("__codes")
+    )
+
+
 def _pq_encode_score(
     csub: DataFrame,
     qsub: DataFrame,
@@ -484,6 +513,7 @@ def _pq_encode_score(
     assign_round: int = 6,
     rank_round: int = 6,
     candidates: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Shared PQ machinery: encode the corpus against ``codebook``
     ((__j, __code, __cw) — m*n_codes tiny rows, broadcast), build each
@@ -501,26 +531,11 @@ def _pq_encode_score(
     ``candidates`` (a (query_id, corpus_id) pair frame) restricts scoring to
     those pairs instead of the full query x corpus product — the IVFADC
     hook: an IVF cell probe bounds the candidates, PQ codes bound the
-    bytes."""
-    enc = (
-        csub.join(F.broadcast(codebook), "__j")
-        .select(
-            corpus_id,
-            "__j",
-            F.struct(
-                F.round(_pq_l2sq(F.col("__sub"), F.col("__cw")), assign_round).alias("__d2"),
-                F.col("__code"),
-            ).alias("__s"),
-        )
-        .groupBy(corpus_id, "__j")
-        .agg(F.min("__s").alias("__m"))
-        .select(corpus_id, "__j", F.col("__m.__code").alias("__code"))
-    )
-    codes = enc.groupBy(corpus_id).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("__j", "__code"))), lambda s: s["__code"]
-        ).alias("__codes")
-    )
+    bytes. ``codes`` (a precomputed (corpus_id, __codes) frame, e.g. read
+    back from the parquet store pq_encode wrote) skips encoding entirely —
+    the nightly-scan path where only queries change."""
+    if codes is None:
+        codes = _pq_codes(csub, codebook, corpus_id, assign_round)
     lut = (
         qsub.join(F.broadcast(codebook), "__j")
         .select(
@@ -604,6 +619,8 @@ def pq_topk_deterministic(
     assign_round: int = 6,
     rank_round: int = 6,
     rerank: int | None = None,
+    codebook: DataFrame | None = None,
+    codes_store: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011) with a *data-seeded
     deterministic* codebook: subspace ``j``'s codewords are the ``j``-th
@@ -624,33 +641,43 @@ def pq_topk_deterministic(
     from instructionspipe_spark.session import ensure_parallelism, managed_persist
 
     corpus = ensure_parallelism(corpus)
-    # Read by TWO branches (codebook seed join + encoding) — persist the
-    # narrow subvector frame rather than normalizing the corpus twice.
-    csub = managed_persist(
-        _pq_subvectors(corpus.select(F.col(corpus_id), F.col(corpus_vec)), corpus_id, corpus_vec, m)
-    )
-    # Codewords: subvectors of the n_codes lowest-id corpus vectors; code =
-    # rank of that id (tiny n_codes*m frame — the single-partition window is
-    # over n_codes rows, executed once).
-    seed_ids = (
-        corpus.select(F.col(corpus_id))
-        .orderBy(corpus_id)
-        .limit(n_codes)
-        .withColumn("__code", F.row_number().over(Window.orderBy(corpus_id)) - 1)
-    )
-    codebook = (
-        csub.join(F.broadcast(seed_ids), corpus_id)
-        .select("__j", "__code", F.col("__sub").alias("__cw"))
-    )
+    if codes_store is not None and codebook is None:
+        raise ValueError("codes_store requires the codebook it was encoded with")
+    if codes_store is None:
+        # Read by TWO branches (codebook seed join + encoding) — persist the
+        # narrow subvector frame rather than normalizing the corpus twice.
+        csub = managed_persist(
+            _pq_subvectors(
+                corpus.select(F.col(corpus_id), F.col(corpus_vec)), corpus_id, corpus_vec, m
+            )
+        )
+        if codebook is None:
+            # Codewords: subvectors of the n_codes lowest-id corpus vectors;
+            # code = rank of that id (tiny n_codes*m frame — the
+            # single-partition window is over n_codes rows, executed once).
+            seed_ids = (
+                corpus.select(F.col(corpus_id))
+                .orderBy(corpus_id)
+                .limit(n_codes)
+                .withColumn("__code", F.row_number().over(Window.orderBy(corpus_id)) - 1)
+            )
+            codebook = (
+                csub.join(F.broadcast(seed_ids), corpus_id)
+                .select("__j", "__code", F.col("__sub").alias("__cw"))
+            )
+    else:
+        csub = None
     qsub = _pq_subvectors(
         queries.select(F.col(query_id), F.col(query_vec)), query_id, query_vec, m
     )
     if rerank is None:
         return _pq_encode_score(
-            csub, qsub, codebook, m, n_codes, k, corpus_id, query_id, assign_round, rank_round
+            csub, qsub, codebook, m, n_codes, k, corpus_id, query_id, assign_round,
+            rank_round, codes=codes_store,
         )
     shortlist = _pq_encode_score(
-        csub, qsub, codebook, m, n_codes, rerank, corpus_id, query_id, assign_round, rank_round
+        csub, qsub, codebook, m, n_codes, rerank, corpus_id, query_id, assign_round,
+        rank_round, codes=codes_store,
     ).select(query_id, corpus_id)
     from instructionspipe_spark.functions.vectors import l2_normalize
 
@@ -849,3 +876,49 @@ def ivfadc_topk(
     return _pq_rerank(
         adc.select(query_id, corpus_id), c, q.select(query_id, "__qnv"), k, corpus_id, query_id
     )
+
+
+def pq_codebook_deterministic(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The data-seeded deterministic PQ codebook as a frame ``(__j, __code,
+    __cw)``: subspace ``j``'s codewords are the ``j``-th subvectors of the
+    ``n_codes`` lowest-id corpus vectors. Persist next to the codes store —
+    scoring needs both, and codes are meaningless under a different
+    codebook."""
+    csub = _pq_subvectors(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec)), corpus_id, corpus_vec, m
+    )
+    seed_ids = (
+        corpus.select(F.col(corpus_id))
+        .orderBy(corpus_id)
+        .limit(n_codes)
+        .withColumn("__code", F.row_number().over(Window.orderBy(corpus_id)) - 1)
+    )
+    return csub.join(F.broadcast(seed_ids), corpus_id).select(
+        "__j", "__code", F.col("__sub").alias("__cw")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    assign_round: int = 6,
+) -> DataFrame:
+    """Encode a corpus against an existing PQ ``codebook`` into the
+    persistable codes store ``(corpus_id, __codes)`` — the artifact a
+    100 TB pipeline writes ONCE and scans nightly (m small ints per vector,
+    64x smaller than the floats at dim=64/m=4). Pass the frame back to
+    :func:`pq_topk_deterministic` via ``codes_store`` and the raw vectors
+    are read only for rerank rows."""
+    csub = _pq_subvectors(
+        corpus.select(F.col(corpus_id), F.col(corpus_vec)), corpus_id, corpus_vec, m
+    )
+    return _pq_codes(csub, codebook, corpus_id, assign_round)

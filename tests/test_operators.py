@@ -952,3 +952,40 @@ def test_incremental_minhash_dedup(spark, tmp_path):
     }
     release_persisted()
     assert out2 == out
+
+
+def test_pq_codes_store_roundtrip(spark, tmp_path):
+    """The persisted-codes path: encode once, write codebook + codes to
+    parquet, score from the stored frames — results identical to the
+    direct end-to-end run (the nightly-scan configuration where only
+    queries change)."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.similarity import (
+        pq_codebook_deterministic,
+        pq_encode,
+        pq_topk_deterministic,
+    )
+    from instructionspipe_spark.session import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 101 == 0).limit(6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    direct = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+              pq_topk_deterministic(emb, q, k=5, m=4, n_codes=8, rerank=40).collect()}
+    release_persisted()
+
+    cb = pq_codebook_deterministic(emb, m=4, n_codes=8)
+    cb.write.parquet(str(tmp_path / "codebook.parquet"))
+    cb_back = spark.read.parquet(str(tmp_path / "codebook.parquet"))
+    pq_encode(emb, cb_back, m=4).write.parquet(str(tmp_path / "codes.parquet"))
+    codes_back = spark.read.parquet(str(tmp_path / "codes.parquet"))
+
+    stored = {(r["query_id"], r["vec_id"], r["rank"]) for r in
+              pq_topk_deterministic(
+                  emb, q, k=5, m=4, n_codes=8, rerank=40,
+                  codebook=cb_back, codes_store=codes_back,
+              ).collect()}
+    release_persisted()
+    assert stored == direct
