@@ -425,3 +425,36 @@ def test_ivfadc_probe_all_equals_pq(spark):
            ivfadc_topk(emb, q, k=5, n_cells=8, n_probe=8, m=4, n_codes=8, rerank=60).collect()}
     release_persisted()
     assert pq == ivf
+
+
+def test_incremental_dedup_adversarial_skew(spark, skewed_docs):
+    """Hot-batch-row admission: a batch where 60% of rows share ONE
+    boilerplate text, admitted against a corpus that also contains it —
+    every boilerplate batch row must collapse to the same corpus survivor
+    through the two-phase struct-max election (map-side partial aggregate,
+    never a per-batch-row window over millions of matches), and the
+    verdicts stay exact."""
+    from instructionspipe_spark.operators.dedup import incremental_minhash_dedup
+    from instructionspipe_spark.session import release_persisted
+
+    corpus = skewed_docs.filter(F.col("doc_id") % 2 == 0)
+    batch = skewed_docs.filter(F.col("doc_id") % 2 == 1).selectExpr(
+        "doc_id + 100000 AS doc_id", "text"
+    )
+    out = incremental_minhash_dedup(corpus, batch, "doc_id", "text", threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, "best-match election must partial-aggregate map-side"
+    rows = out.collect()
+    release_persisted()
+    assert len(rows) == batch.count()
+    # corpus boilerplate survivor: doc_id 0 holds the min id among the
+    # boilerplate corpus rows; EVERY boilerplate batch row elects exactly it.
+    boiler_ids = {
+        r["doc_id"] for r in batch.collect() if r["text"].startswith("identical boilerplate")
+    }
+    for r in rows:
+        if r["doc_id"] in boiler_ids:
+            assert not r["kept"] and r["dup_of"] == 0 and r["jaccard"] == 1.0
+        else:
+            # md5-distinct payloads share ~1% trigram jaccard — all kept
+            assert r["kept"]
