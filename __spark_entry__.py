@@ -38,9 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # broadcast hint) and q6_forecast_revenue (family covered by the other gated
 # TPC-H rows + ORACLE_FULL) yield their slots to the three r5 additions:
 # similarity_multitable_topk, word_block_dedup, lm_block_manifest.
-# The four late-r5 additions (char_entropy_quality, incremental_batch_dedup,
-# similarity_pq_topk, similarity_ivfadc_topk) exceed the 50-slot gate; they
-# carry ORACLE_FULL_r5 records now and queue for the r6 rotation.
+# The five late-r5 additions (char_entropy_quality, incremental_batch_dedup,
+# similarity_pq_topk, similarity_ivfadc_topk, template_block_strip) exceed
+# the 50-slot gate; they carry ORACLE_FULL_r5 records now and queue for the
+# r6 rotation.
 _GATE_FIRST = (
     "approx_distinct", "self_verification", "constrained_json_parse",
     "tag_extraction", "media_features", "chatml_family_adjust",

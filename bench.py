@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "incremental_batch_dedup",
     "similarity_pq_topk",
     "similarity_ivfadc_topk",
+    "template_block_strip",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -31,6 +31,7 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     incremental_minhash_dedup,
     minhash_band_store,
     word_ngram_hash_ids,
+    template_block_strip,
     word_block_dedup,
     lsh_bucket_stats,
 )

@@ -988,6 +988,79 @@ def simhash_near_dedup(
 _BLOCK_IDX_BITS = 20
 
 
+def _word_block_frames(
+    df: DataFrame, id_col: str, text_col: str, block_words: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared block machinery for word_block_dedup / template_block_strip:
+    ``base`` = (__id, __w, __nb) per doc, ``hashed`` = (__id, __bi, __btext,
+    __h, __pk) per block. Stage order per the Generate rule: explode the
+    cheap block index, slice/concat/hash per exploded row in codegen."""
+    assert block_words >= 1
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    pack_mul = F.lit(1 << _BLOCK_IDX_BITS).cast("long")
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    nb_raw = F.ceil(F.size("__w") / F.lit(block_words)).cast("long")
+    base = df.select(F.col(id_col).alias("__id"), words.alias("__w")).select(
+        "__id",
+        "__w",
+        # NULL-text docs keep a NULL block count (condition NULL falls to
+        # the otherwise branch, which must NOT be the raise).
+        F.when(
+            nb_raw >= pack_mul,
+            F.raise_error(F.lit("word blocks: document exceeds 2^20 blocks")),
+        )
+        .otherwise(nb_raw)
+        .alias("__nb"),
+    )
+    # sequence(0, -1) would be DESCENDING, not empty — guard zero-block docs.
+    blocks = base.filter(F.col("__nb") > 0).select(
+        "__id",
+        "__w",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nb") - 1)).alias("__bi"),
+    ).select(
+        "__id",
+        "__bi",
+        F.concat_ws(
+            " ", F.slice(F.col("__w"), (F.col("__bi") * block_words + 1).cast("int"), block_words)
+        ).alias("__btext"),
+    )
+    hashed = blocks.select(
+        "__id",
+        "__bi",
+        "__btext",
+        F.md5(F.col("__btext")).alias("__h"),
+        (F.col("__id") * pack_mul + F.col("__bi")).alias("__pk"),
+    )
+    return base, hashed
+
+
+def _reassemble_blocks(base: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
+    """Rebuild documents from surviving blocks in block order; docs whose
+    every block was cut come back as ''."""
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__bi", "__btext"))),
+                lambda s: s["__btext"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("__id", F.col("__nb").alias("n_blocks"))
+        .join(reassembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
 def word_block_dedup(
     df: DataFrame,
     id_col: str,
@@ -1015,44 +1088,7 @@ def word_block_dedup(
     boilerplate block occurring 10^9 times collapses map-side, never on one
     task; reassembly is one groupBy on the doc id. No pairwise anything.
     """
-    assert block_words >= 1
-    from instructionspipe_spark.session import ensure_parallelism
-
-    df = ensure_parallelism(df)
-    pack_mul = F.lit(1 << _BLOCK_IDX_BITS).cast("long")
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    nb_raw = F.ceil(F.size("__w") / F.lit(block_words)).cast("long")
-    base = df.select(F.col(id_col).alias("__id"), words.alias("__w")).select(
-        "__id",
-        "__w",
-        # NULL-text docs keep a NULL block count (condition NULL falls to
-        # the otherwise branch, which must NOT be the raise).
-        F.when(
-            nb_raw >= pack_mul,
-            F.raise_error(F.lit("word_block_dedup: document exceeds 2^20 blocks")),
-        )
-        .otherwise(nb_raw)
-        .alias("__nb"),
-    )
-    # sequence(0, -1) would be DESCENDING, not empty — guard zero-block docs.
-    blocks = base.filter(F.col("__nb") > 0).select(
-        "__id",
-        "__w",
-        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nb") - 1)).alias("__bi"),
-    ).select(
-        "__id",
-        "__bi",
-        F.concat_ws(
-            " ", F.slice(F.col("__w"), (F.col("__bi") * block_words + 1).cast("int"), block_words)
-        ).alias("__btext"),
-    )
-    hashed = blocks.select(
-        "__id",
-        "__bi",
-        "__btext",
-        F.md5(F.col("__btext")).alias("__h"),
-        (F.col("__id") * pack_mul + F.col("__bi")).alias("__pk"),
-    )
+    base, hashed = _word_block_frames(df, id_col, text_col, block_words)
     first = hashed.groupBy("__h").agg(F.min("__pk").alias("__first"))
     kept = hashed.join(first, "__h").filter(F.col("__pk") == F.col("__first"))
     reassembled = kept.groupBy("__id").agg(
@@ -1075,6 +1111,46 @@ def word_block_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+def template_block_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_words: int = 8,
+    max_doc_frequency: int = 2,
+) -> DataFrame:
+    """Boilerplate template removal: cut every ``block_words``-word block
+    whose text appears in MORE than ``max_doc_frequency`` distinct documents
+    — headers, footers, cookie banners, licence blurbs — from EVERY
+    document (no survivor, unlike :func:`word_block_dedup`'s
+    first-occurrence rule: a block that common is template, not content).
+    The action the ``frequent_ngrams`` / ``lsh_bucket_stats`` diagnostics
+    point at; RefinedWeb/C4-style pipelines run exactly this before
+    near-dedup so mega-buckets never form.
+
+    Output: ``(id_col, text, n_blocks, n_kept)`` like word_block_dedup.
+
+    Scale shape: same single block explode (cheap index first, slice+hash
+    in codegen); the doc-frequency census is a two-level aggregate —
+    distinct (block, doc) collapses map-side, then one count per block md5
+    (uniform shuffle keys); the filter join is block-keyed, reassembly one
+    groupBy on the doc id. A template block in 10^9 docs collapses per
+    input task, never on one reducer.
+    """
+    base, hashed = _word_block_frames(df, id_col, text_col, block_words)
+    freq = (
+        hashed.select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    kept = (
+        hashed.join(freq, "__h")
+        .filter(F.col("__df") <= max_doc_frequency)
+        .select("__id", "__bi", "__btext")
+    )
+    return _reassemble_blocks(base, kept, id_col)
 
 
 def lsh_bucket_stats(

@@ -4439,3 +4439,47 @@ def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfadc_topk(
         embeddings, queries_df, k=5, n_cells=8, n_probe=2, m=4, n_codes=8, rerank=50
     ).select("query_id", "vec_id", "cosine", "rank")
+
+
+def _template_block_strip_oracle(block_words: int = 8, max_df: int = 2) -> str:
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    nb AS (
+        SELECT doc_id, w, CAST(ceil(len(w) / {block_words}.0) AS BIGINT) AS n_blocks FROM base
+    ),
+    blocks AS (
+        SELECT doc_id, bi,
+               array_to_string(w[CAST(bi * {block_words} + 1 AS BIGINT)
+                                 : CAST((bi + 1) * {block_words} AS BIGINT)], ' ') AS btext
+        FROM nb, UNNEST(range(n_blocks)) AS t(bi)
+    ),
+    hashed AS (SELECT doc_id, bi, btext, md5(btext) AS h FROM blocks),
+    freq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM hashed GROUP BY h),
+    kept AS (
+        SELECT hashed.doc_id, hashed.bi, hashed.btext FROM hashed
+        JOIN freq ON hashed.h = freq.h WHERE freq.df <= {max_df}
+    ),
+    reasm AS (
+        SELECT doc_id, string_agg(btext, ' ' ORDER BY bi) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT nb.doc_id, COALESCE(reasm.text, '') AS text, nb.n_blocks,
+           COALESCE(reasm.n_kept, 0) AS n_kept
+    FROM nb LEFT JOIN reasm ON nb.doc_id = reasm.doc_id
+    """
+
+
+@query("template_block_strip", oracle=_template_block_strip_oracle())
+def template_block_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate template removal (operators/dedup.py:template_block_strip):
+    every 8-word block present in more than 2 distinct documents is cut from
+    ALL of them — the header/footer strip RefinedWeb/C4-style pipelines run
+    before near-dedup. Two-level doc-frequency aggregate (distinct
+    (block, doc) collapses map-side), uniform md5 shuffle keys, one
+    reassembly groupBy."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.template_block_strip(documents, "doc_id", "text", block_words=8, max_doc_frequency=2)

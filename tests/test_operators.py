@@ -989,3 +989,37 @@ def test_pq_codes_store_roundtrip(spark, tmp_path):
               ).collect()}
     release_persisted()
     assert stored == direct
+
+
+def test_template_block_strip(spark):
+    from instructionspipe_spark.operators.dedup import template_block_strip
+
+    tpl = "subscribe to our newsletter for updates every week thanks"  # 9 words -> 2 blocks? no: block_words=4 below
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " + tpl),
+            (2, "epsilon zeta eta theta " + tpl),
+            (3, "iota kappa lamda mu " + tpl),
+            (4, "unique content only here nothing shared at all"),
+            (5, ""),
+            (6, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in template_block_strip(
+            docs, "doc_id", "text", block_words=4, max_doc_frequency=2
+        ).collect()
+    }
+    # the 4-word-aligned template blocks appear in 3 docs (> 2) -> cut from
+    # all three; each doc keeps its unique leading block(s).
+    for i, lead in [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"), (3, "iota kappa lamda mu")]:
+        assert out[i]["text"].startswith(lead)
+        assert "subscribe to our newsletter" not in out[i]["text"]
+        assert out[i]["n_kept"] < out[i]["n_blocks"]
+    # unlike word_block_dedup there is NO surviving first occurrence
+    assert all("subscribe" not in out[i]["text"] for i in (1, 2, 3))
+    assert out[4]["n_kept"] == out[4]["n_blocks"]  # unique doc untouched
+    assert out[5]["text"] == "" and out[5]["n_blocks"] == 0
+    assert out[6]["text"] == "" and out[6]["n_blocks"] is None
