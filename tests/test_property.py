@@ -210,3 +210,42 @@ def test_incremental_dedup_invariants(spark):
     ).collect()
     release_persisted()
     assert empty == []
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)  # valid, no lone surrogates
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_char_entropy_engines_property(spark, texts):
+    """Arrow histogram kernel == pure-expression twin on arbitrary unicode
+    (incl. astral-plane emoji, CJK, combining marks): both count CODE
+    POINTS — Spark's split('') yields code points, the kernel reinterprets
+    utf-32. Also pins the analytic bounds: 0 <= H <= log2(distinct)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.textstats import (
+        char_entropy,
+        distinct_char_count,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "text"])
+    rows = df.select(
+        F.round(char_entropy(F.col("text")), 6).alias("arrow"),
+        F.round(char_entropy(F.col("text"), engine="expr"), 6).alias("expr"),
+        distinct_char_count(F.col("text")).alias("nd"),
+    ).collect()
+    for r in rows:
+        assert r["arrow"] == r["expr"]
+        if r["nd"] is not None and r["nd"] > 0:
+            assert 0.0 <= r["arrow"] <= round(math.log2(r["nd"]), 6) + 1e-6
