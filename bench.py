@@ -101,7 +101,7 @@ def bench_engines() -> int:
 
     from instructionspipe_spark import get_spark, load_tables
     from instructionspipe_spark.operators.dedup import minhash_signature, simhash
-    from instructionspipe_spark.operators.textstats import doc_fingerprint
+    from instructionspipe_spark.operators.textstats import char_entropy, doc_fingerprint
     from instructionspipe_spark.session import ensure_parallelism
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,6 +118,9 @@ def bench_engines() -> int:
         ),
         "doc_fingerprint(8)": lambda eng: docs.select(
             doc_fingerprint(F.col("text"), engine=eng).alias("v")
+        ),
+        "char_entropy": lambda eng: docs.select(
+            char_entropy(F.col("text"), engine=eng).alias("v")
         ),
     }
     results: dict[str, dict[str, float]] = {}
@@ -154,6 +157,14 @@ def bench_engines() -> int:
         "Prior null result (round 2, kept for the record): swapping md5 for",
         "xxhash64 inside the expression twin measured within noise — the shingle",
         "loop, not the hash function, is the cost.",
+        "",
+        "char_entropy reads ~0.9x (expression twin slightly FASTER) on this",
+        "short-doc corpus: per-row distinct-char counts are small enough that",
+        "the interpreted O(distinct*len) lambda beats the Arrow transfer",
+        "constant. The kernel stays the default because its cost is O(len)",
+        "per row — a 50k-char doc with 100 distinct chars is 5M interpreted",
+        "lambda steps on the expression path, linear on the kernel (same",
+        "long-document asymmetry as the shingle engines).",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "ENGINES.md"), "w") as f:
