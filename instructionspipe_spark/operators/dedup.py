@@ -569,11 +569,54 @@ def minhash_band_store(
     :func:`incremental_minhash_dedup` never re-signs the accumulated corpus
     — each nightly batch pays signatures only for its own rows plus one
     streamed equi-join against the store. NULL-signature docs (no shingles)
-    are absent by construction: they never pair."""
+    are absent by construction: they never pair.
+
+    The signing parameters are stamped into the output as constant columns
+    (``__num_perm``, ``__bands``, ``__ngram``): band hashes from different
+    parameterizations are incompatible — joining them yields zero candidates
+    SILENTLY — so consumers (:func:`incremental_minhash_dedup`) verify the
+    stamp in-plan and raise instead of admitting every batch row."""
     rows_per_band = num_perm // bands
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram, engine=engine)
     return _banded_frame(
         df.select(F.col(id_col).alias("__id"), sig.alias("__sig")), bands, rows_per_band
+    ).select(
+        "*",
+        F.lit(num_perm).cast("int").alias("__num_perm"),
+        F.lit(bands).cast("int").alias("__bands"),
+        F.lit(ngram).cast("int").alias("__ngram"),
+    )
+
+
+def _validated_band_store(
+    store: DataFrame, num_perm: int, bands: int, ngram: int
+) -> DataFrame:
+    """Verify a band store's stamped signing parameters match the consumer's,
+    in-plan: a mismatched store joins on incompatible band hashes and yields
+    zero candidates SILENTLY (every batch row admitted as kept=true), so the
+    check is a ``raise_error`` wrapped around the join key — distributed, no
+    extra action, fails the job on the first mismatched row. Pre-stamp stores
+    (no ``__num_perm`` column) pass through unchecked for compatibility; the
+    result carries only the join/identity columns either way."""
+    if "__num_perm" not in store.columns:
+        return store
+    stamp_ok = (
+        (F.col("__num_perm") == F.lit(num_perm))
+        & (F.col("__bands") == F.lit(bands))
+        & (F.col("__ngram") == F.lit(ngram))
+    )
+    msg = (
+        "minhash band store parameter mismatch: store was signed with "
+        "different (num_perm, bands, ngram) than this consumer expects "
+        f"(num_perm={num_perm}, bands={bands}, ngram={ngram}); band hashes "
+        "are incompatible and would silently produce zero candidates"
+    )
+    return store.select(
+        "__id",
+        "__band_idx",
+        F.when(~stamp_ok, F.raise_error(F.lit(msg)))
+        .otherwise(F.col("__band_hash"))
+        .alias("__band_hash"),
     )
 
 
@@ -631,6 +674,7 @@ def incremental_minhash_dedup(
         corpus_store = minhash_band_store(
             corpus, id_col, text_col, num_perm=num_perm, bands=bands, ngram=ngram, engine=engine
         )
+    corpus_store = _validated_band_store(corpus_store, num_perm, bands, ngram)
     sig = minhash_signature(F.col(batch_text_col), num_perm=num_perm, ngram=ngram, engine=engine)
     batch_sig = managed_persist(
         batch.select(F.col(batch_id_col).alias("__id"), sig.alias("__sig"))
@@ -982,37 +1026,27 @@ def simhash_near_dedup(
 # Corpus-wide exact block dedup (C4-style)
 # ---------------------------------------------------------------------------
 
-# Packed survivor key: doc_id * 2^20 + block_idx. 2^20 blocks/doc bounds a
-# single document at ~8M words (block_words=8) — far past any real document;
-# asserted at build time below.
-_BLOCK_IDX_BITS = 20
-
-
 def _word_block_frames(
     df: DataFrame, id_col: str, text_col: str, block_words: int
 ) -> tuple[DataFrame, DataFrame]:
     """Shared block machinery for word_block_dedup / template_block_strip:
     ``base`` = (__id, __w, __nb) per doc, ``hashed`` = (__id, __bi, __btext,
-    __h, __pk) per block. Stage order per the Generate rule: explode the
-    cheap block index, slice/concat/hash per exploded row in codegen."""
+    __h) per block. Stage order per the Generate rule: explode the
+    cheap block index, slice/concat/hash per exploded row in codegen.
+
+    Survivor election downstream is min(struct(__id, __bi)) — lexicographic
+    on the raw columns, so any orderable id type (long, string, decimal)
+    works with no packed-key overflow at any id magnitude."""
     assert block_words >= 1
     from instructionspipe_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)
-    pack_mul = F.lit(1 << _BLOCK_IDX_BITS).cast("long")
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     nb_raw = F.ceil(F.size("__w") / F.lit(block_words)).cast("long")
     base = df.select(F.col(id_col).alias("__id"), words.alias("__w")).select(
         "__id",
         "__w",
-        # NULL-text docs keep a NULL block count (condition NULL falls to
-        # the otherwise branch, which must NOT be the raise).
-        F.when(
-            nb_raw >= pack_mul,
-            F.raise_error(F.lit("word blocks: document exceeds 2^20 blocks")),
-        )
-        .otherwise(nb_raw)
-        .alias("__nb"),
+        nb_raw.alias("__nb"),
     )
     # sequence(0, -1) would be DESCENDING, not empty — guard zero-block docs.
     blocks = base.filter(F.col("__nb") > 0).select(
@@ -1031,7 +1065,6 @@ def _word_block_frames(
         "__bi",
         "__btext",
         F.md5(F.col("__btext")).alias("__h"),
-        (F.col("__id") * pack_mul + F.col("__bi")).alias("__pk"),
     )
     return base, hashed
 
@@ -1089,28 +1122,21 @@ def word_block_dedup(
     task; reassembly is one groupBy on the doc id. No pairwise anything.
     """
     base, hashed = _word_block_frames(df, id_col, text_col, block_words)
-    first = hashed.groupBy("__h").agg(F.min("__pk").alias("__first"))
-    kept = hashed.join(first, "__h").filter(F.col("__pk") == F.col("__first"))
-    reassembled = kept.groupBy("__id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__bi", "__btext"))),
-                lambda s: s["__btext"],
-            ),
-            " ",
-        ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # Two-phase first-occurrence election on min(struct(__id, __bi)):
+    # partial-aggregates map-side like the packed-long variant, but is exact
+    # for any orderable id type and cannot overflow at any id magnitude.
+    first = hashed.groupBy("__h").agg(
+        F.min(F.struct("__id", "__bi")).alias("__first")
     )
-    return (
-        base.select("__id", F.col("__nb").alias("n_blocks"))
-        .join(reassembled, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            "n_blocks",
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    kept = (
+        hashed.join(first, "__h")
+        .filter(
+            (F.col("__id") == F.col("__first.__id"))
+            & (F.col("__bi") == F.col("__first.__bi"))
         )
+        .select("__id", "__bi", "__btext")
     )
+    return _reassemble_blocks(base, kept, id_col)
 
 
 def template_block_strip(

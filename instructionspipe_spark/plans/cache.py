@@ -48,19 +48,33 @@ def cached_llm_call(
     llm,
     cache_path: str | None = None,
     spark: SparkSession | None = None,
+    system: str | None = None,
 ) -> DataFrame:
     """Completion of ``prompt_col`` into ``out_col`` through the cache-table
     protocol. With ``cache_path=None`` the cache step is skipped but the
-    dedup-before-call collapse still applies."""
+    dedup-before-call collapse still applies.
+
+    ``system`` (a constant per-instruction system prompt) participates in the
+    cache key via the canonical ``system + "\\n\\n" + user`` concatenation —
+    the same bytes the pre-split protocol hashed — so two instructions
+    sharing user text never collide, and existing caches stay valid for
+    callers that pre-concatenated."""
     spark = spark or df.sparkSession
-    keyed = df.withColumn("__cache_key", F.sha2(F.col(prompt_col), 256))
+    key_src = (
+        F.col(prompt_col)
+        if system is None
+        else F.concat(F.lit(system), F.lit("\n\n"), F.col(prompt_col))
+    )
+    keyed = df.withColumn("__cache_key", F.sha2(key_src, 256))
     distinct_prompts = keyed.select(
         F.col("__cache_key").alias("cache_key"), F.col(prompt_col).alias("__prompt")
     ).dropDuplicates(["cache_key"])
 
     cache = _read_cache(spark, cache_path) if cache_path else spark.createDataFrame([], CACHE_SCHEMA)
     misses = distinct_prompts.join(cache, "cache_key", "left_anti")
-    fresh = llm.complete_df(misses, "__prompt", "completion").select("cache_key", "completion")
+    fresh = llm.complete_df(misses, "__prompt", "completion", system=system).select(
+        "cache_key", "completion"
+    )
 
     if cache_path:
         fresh.write.mode("append").parquet(cache_path)
@@ -88,5 +102,9 @@ class CachedLlm:
         self.inner = inner
         self.cache_path = cache_path
 
-    def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
-        return cached_llm_call(df, prompt_col, out_col, self.inner, cache_path=self.cache_path)
+    def complete_df(
+        self, df: DataFrame, prompt_col: str, out_col: str, system: str | None = None
+    ) -> DataFrame:
+        return cached_llm_call(
+            df, prompt_col, out_col, self.inner, cache_path=self.cache_path, system=system
+        )

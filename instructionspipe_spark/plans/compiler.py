@@ -97,36 +97,29 @@ def run_stage(
     out = df
     for instr in instructions:
         client = _resolve(llm, instr)
-        umsg = user_message(df, instr.scope)
-        prompt = F.concat(F.lit(system_prompt(instr)), F.lit("\n\n"), umsg)
-        prompt_col = f"__prompt_{instr.name}"
+        sys_text = system_prompt(instr)
         umsg_col = f"__umsg_{instr.name}"
-        out = out.withColumn(prompt_col, prompt).withColumn(umsg_col, umsg)
-        if client.expression_based:
-            raw = client.completion_column(F.col(prompt_col))
-            # P6 empty-instruction predicate: no scoped input content -> no
-            # model call (reference llm_cli.py:91-99). Guard on the USER
-            # message — the system prompt is constant and would defeat the
-            # check (and trim() does not strip newlines).
-            completion = F.when(F.length(F.col(umsg_col)) > 0, raw)
-            out = out.withColumn(instr.name, completion)
-        else:
-            # Same P6 guard for kernel clients: null prompt -> the kernel
-            # skips the network call for that row.
-            out = out.withColumn(
-                prompt_col, F.when(F.length(F.col(umsg_col)) > 0, F.col(prompt_col))
-            )
-            out = client.complete_df(out, prompt_col, instr.name)
+        # P6 empty-instruction predicate: no scoped input content -> no
+        # model call (reference llm_cli.py:91-99). Guard on the USER
+        # message — the system prompt is constant and would defeat the
+        # check (and trim() does not strip newlines). The guarded column is
+        # exactly the user message SENT: wire clients post it as its own
+        # user-roled turn next to the system message (llm_cli.py:114);
+        # expression clients hash the canonical system+"\n\n"+user concat
+        # (NULL user propagates through concat, so the guard holds there too).
+        umsg = user_message(df, instr.scope)
+        out = out.withColumn(umsg_col, F.when(F.length(umsg) > 0, umsg))
+        out = client.complete_df(out, umsg_col, instr.name, system=sys_text)
         if lineage:
             out = out.withColumn(
                 f"{instr.name}__msgs",
                 chatml(
-                    msg("system", F.lit(system_prompt(instr))),
-                    msg("user", F.col(prompt_col)),
+                    msg("system", F.lit(sys_text)),
+                    msg("user", F.col(umsg_col)),
                     msg("assistant", F.col(instr.name)),
                 ),
             )
-        out = out.drop(prompt_col, umsg_col)
+        out = out.drop(umsg_col)
     return out
 
 

@@ -65,3 +65,19 @@ def load_pipeline(path: str) -> Pipeline:
     the reference's demo_configs/mapreduce_summ/ehr.json layout)."""
     with open(path) as f:
         return Pipeline.from_dict(json.load(f))
+
+
+def load_pipelines(path: str) -> tuple[Pipeline, ...]:
+    """S5 directory mode (reference inf.py:90-102): a DIRECTORY loads every
+    ``*.json`` under it as one pipeline each (sorted by filename for a
+    deterministic run order — the reference uses ``os.listdir`` order, which
+    is filesystem-dependent); a FILE loads exactly one. Non-``.json``
+    entries are skipped."""
+    import os
+
+    if not os.path.isdir(path):
+        return (load_pipeline(path),)
+    names = sorted(n for n in os.listdir(path) if n.endswith(".json"))
+    if not names:
+        raise FileNotFoundError(f"no *.json pipeline configs under directory {path}")
+    return tuple(load_pipeline(os.path.join(path, n)) for n in names)

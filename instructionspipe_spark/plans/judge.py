@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from instructionspipe_spark.functions.text import fence_strip
+from instructionspipe_spark.plans.llm_kernel import LlmClient
 
 
 def factuality_score(label: Column) -> Column:
@@ -126,7 +127,7 @@ def mock_judge_response(
     ).otherwise(F.lit('{"label": "%s"}' % neg))
 
 
-class MockJudgeLlm:
+class MockJudgeLlm(LlmClient):
     """Expression-based deterministic judge: answers parseable JSON
     ``{"label": ...}`` with the label chosen by the prompt hash — the offline
     stand-in for an L7/L8 judge model (labels differ per model name, so the
@@ -140,9 +141,6 @@ class MockJudgeLlm:
 
     def completion_column(self, prompt: Column) -> Column:
         return mock_judge_response(self.model, prompt, self.labels)
-
-    def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
-        return df.withColumn(out_col, self.completion_column(F.col(prompt_col)))
 
 
 def run_judge_fanout(

@@ -36,7 +36,13 @@ from pyspark.sql import types as T
 
 
 class LlmClient:
-    """Interface: turn a prompt column into a completion column."""
+    """Interface: turn a prompt column into a completion column.
+
+    ``system`` is an optional CONSTANT system prompt (per-instruction, so a
+    plain Python string, not a column). Wire clients send it as a separate
+    properly-roled message (the reference posts ``prefix + [msg]``,
+    ``llm_cli.py:114``); expression clients fold it into the deterministic
+    hash via the canonical ``system + "\\n\\n" + user`` concatenation."""
 
     #: True when :meth:`completion_column` exists (pure-expression client).
     expression_based = False
@@ -44,10 +50,15 @@ class LlmClient:
     def completion_column(self, prompt: Column) -> Column:  # pragma: no cover
         raise NotImplementedError
 
-    def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
+    def complete_df(
+        self, df: DataFrame, prompt_col: str, out_col: str, system: str | None = None
+    ) -> DataFrame:
         """Default: add ``out_col`` with the completion of ``prompt_col``."""
         if self.expression_based:
-            return df.withColumn(out_col, self.completion_column(F.col(prompt_col)))
+            prompt = F.col(prompt_col)
+            if system is not None:
+                prompt = F.concat(F.lit(system), F.lit("\n\n"), prompt)
+            return df.withColumn(out_col, self.completion_column(prompt))
         raise NotImplementedError
 
 
@@ -71,8 +82,10 @@ class AsyncKernelLlm(LlmClient):
     all prompts in the batch fanned out concurrently under a semaphore (the
     reference's per-record ``asyncio.gather``, instructions_runners.py:144-148,
     inverted into Spark's model). Subclasses supply ``_make_completer()``
-    returning an ``async (prompt) -> completion`` callable; the instance must
-    be picklable (it ships to executors inside the kernel closure)."""
+    returning an ``async (system: str | None, user: str) -> completion``
+    callable — the system prompt travels separately so wire clients can send
+    it as its own properly-roled message; the instance must be picklable
+    (it ships to executors inside the kernel closure)."""
 
     max_concurrency: int = 16
     expression_based = False
@@ -80,7 +93,9 @@ class AsyncKernelLlm(LlmClient):
     def _make_completer(self):  # pragma: no cover - abstract
         raise NotImplementedError
 
-    def complete_df(self, df: DataFrame, prompt_col: str, out_col: str) -> DataFrame:
+    def complete_df(
+        self, df: DataFrame, prompt_col: str, out_col: str, system: str | None = None
+    ) -> DataFrame:
         out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.StringType())])
         make_completer = self._make_completer
         max_concurrency = self.max_concurrency
@@ -96,7 +111,7 @@ class AsyncKernelLlm(LlmClient):
                 if prompt is None or not str(prompt).strip():
                     return None
                 async with sem:
-                    return await one(prompt)
+                    return await one(system, prompt)
 
             async def run_batch(prompts: list) -> list:
                 sem = asyncio.Semaphore(max_concurrency)
@@ -133,10 +148,13 @@ class EchoAsyncLlm(AsyncKernelLlm):
 
         model = self.model
 
-        async def one(prompt: str) -> str:
+        async def one(system: str | None, user: str) -> str:
             import asyncio
 
             await asyncio.sleep(0)  # prove we really suspend on the loop
+            # Canonical system+user concatenation — byte-identical to
+            # MockLlm over build_prompt, so the kernel path is oracle-equal.
+            prompt = user if system is None else f"{system}\n\n{user}"
             return hashlib.md5(f"{model}:{prompt}".encode()).hexdigest()
 
         return one
@@ -235,13 +253,19 @@ class OpenAiLlm(AsyncKernelLlm):
             _json.loads(self.response_format_json) if self.response_format_json else None
         )
 
-        async def one(prompt: str) -> str | None:
+        async def one(system: str | None, user: str) -> str | None:
             temp, freq = temperature, 0.0
             content = None
+            # The system prompt is a separate properly-roled message — the
+            # reference posts ``messages = prefix + [msg]`` (llm_cli.py:114);
+            # flattening both into one user turn changes chat-tuned model
+            # behavior (system-prompt adherence) and would make the lineage
+            # ChatML a lie about the wire format.
+            prefix = [] if system is None else [{"role": "system", "content": system}]
             for _ in range(length_retries + 1):
                 payload = {
                     "model": model,
-                    "messages": [{"role": "user", "content": prompt}],
+                    "messages": prefix + [{"role": "user", "content": user}],
                     "temperature": temp,
                     "top_p": top_p,
                     "seed": seed,

@@ -1502,7 +1502,6 @@ def lm_block_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _word_block_dedup_oracle(block_words: int = 8) -> str:
-    pack_mul = 1 << 20
     return rf"""
     WITH base AS (
         SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
@@ -1518,14 +1517,11 @@ def _word_block_dedup_oracle(block_words: int = 8) -> str:
         FROM nb, UNNEST(range(n_blocks)) AS t(bi)
     ),
     hashed AS (
-        SELECT doc_id, bi, btext, md5(btext) AS h,
-               doc_id * {pack_mul} + bi AS pk
-        FROM blocks
+        SELECT doc_id, bi, btext, md5(btext) AS h FROM blocks
     ),
-    first AS (SELECT h, MIN(pk) AS fpk FROM hashed GROUP BY h),
     kept AS (
-        SELECT hashed.* FROM hashed
-        JOIN first ON hashed.h = first.h AND hashed.pk = first.fpk
+        SELECT doc_id, bi, btext FROM hashed
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, bi) = 1
     ),
     reasm AS (
         SELECT doc_id, string_agg(btext, ' ' ORDER BY bi) AS text,
@@ -2108,8 +2104,143 @@ def sliding_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# §2.4 extras: cube + approximate distinct
+# §2.10 Streaming twins under the ORACLE: the same semantics executed as a
+# REAL Structured Streaming job (file source -> stream plan -> availableNow
+# memory sink), then diffed against the batch SQL. Before these, the
+# streaming layer was pytest-only; these earn it hash-green oracle rows.
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_tumbling_equiv",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch, oracle-gated: the events table streamed
+    through a watermarked event-time tumbling window (streaming.jobs
+    semantics; complete output mode so every window, including the one the
+    watermark hasn't closed, lands in the sink) must hash-match the batch
+    GROUP BY date_trunc oracle. Exercises the real streaming runtime:
+    file-source micro-batching, event-time windows, state store, sink."""
+    import os
+
+    from instructionspipe_spark.streaming.jobs import run_stream_to_table
+
+    _t(spark, sf_dir, "events")  # sets the nanos conf; catalog parity
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # The file source wants a DIRECTORY; select just this table's file via
+    # the glob (tables are single parquet files under sf_dir).
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks demand TIMESTAMP (LTZ); the table stores wall times (NTZ,
+    # or raw nanos under the legacy long read). Pin the session to UTC so
+    # NTZ -> LTZ -> window -> NTZ round-trips the wall clock exactly, then
+    # hand the batch-identical NTZ window start back to the differential.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = raw_schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # legacy nanosAsLong read
+        ts_ltz = F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ltz")
+    else:
+        ts_ltz = F.col("ts").cast("timestamp_ltz")
+    stream = stream.withColumn("ts", ts_ltz)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return spark.table(run_stream_to_table(agg, "complete"))
+
+
+def _streaming_band_admission_oracle(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """The verified-pair CTE of the incremental-dedup oracle, with SET
+    semantics (the streaming twin emits one row per shared band; consumers
+    exact-dedup downstream — modeled here by DISTINCT)."""
+    rows_per_band = num_perm // bands
+    band_exprs = ", ".join(
+        f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sb.__shingles, sc.__shingles)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(sb.__shingles, sc.__shingles)))"
+    )
+    return (
+        "WITH" + _minhash_base_cte(num_perm) + f""",
+    banded AS (
+        SELECT doc_id, u.b AS band_idx, u.h AS band_hash
+        FROM sig, UNNEST([{band_exprs}]) AS t(u)
+    ),
+    pairs AS (
+        SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
+        FROM banded c
+        JOIN banded b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+        WHERE c.doc_id % 10 != 7 AND b.doc_id % 10 = 7
+    )
+    SELECT p.doc_id, p.dup_of, ROUND({jac}, 6) AS jaccard
+    FROM pairs p
+    JOIN sh sc ON sc.doc_id = p.dup_of
+    JOIN sh sb ON sb.doc_id = p.doc_id
+    WHERE ROUND({jac}, 6) >= {threshold!r}
+    """
+    )
+
+
+@query("streaming_band_admission", oracle=_streaming_band_admission_oracle())
+def streaming_band_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch for the LSH admission path, oracle-gated: the
+    batch slice of documents (doc_id % 10 == 7) STREAMED through
+    streaming.jobs.streaming_band_matches against the accumulated corpus's
+    persisted-shape band store must produce exactly the batch candidates ×
+    jaccard-verification semantics (set-collapsed — the stream emits one row
+    per shared band by design). Exercises per-row signature kernels in the
+    stream, two stream-static equi-joins, and the append-mode sink."""
+    import os
+
+    from instructionspipe_spark.operators.dedup import minhash_band_store
+    from instructionspipe_spark.streaming.jobs import (
+        run_stream_to_table,
+        streaming_band_matches,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 10 != 7)
+    store = minhash_band_store(corpus, "doc_id", "text")
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text")
+    )
+    matches = streaming_band_matches(stream, corpus, store, "doc_id", "text")
+    name = run_stream_to_table(matches, "append")
+    return spark.table(name).distinct()
 
 
 @query(

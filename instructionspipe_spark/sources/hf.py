@@ -41,6 +41,11 @@ def have_hf_datasets() -> bool:
 # driver.
 _SCHEMA_PEEK_BYTES = 4 * 1024 * 1024
 
+# Spark's binaryFile source stores each file as a single byte-array row;
+# JVM arrays cap at Int.MaxValue. Shards at/above this die with an opaque
+# executor error, so read_arrow_ipc pre-checks listing metadata against it.
+_MAX_SHARD_BYTES = 2**31 - 1
+
 
 def _schema_from_header(header: bytes):
     """Parse an Arrow schema from a file's leading bytes. Works for both the
@@ -79,6 +84,23 @@ def read_arrow_ipc(
         binaries = reader.load(path)
     else:
         binaries = reader.load(list(path))
+    # binaryFile materializes each file as ONE row; a shard past the JVM
+    # byte-array ceiling dies mid-scan with an opaque error. Check the
+    # listing metadata first (path/length only — no content read; binaryFile
+    # pushes the length filter down) and fail with an actionable message.
+    oversized = (
+        binaries.select("path", "length")
+        .filter(F.col("length") > _MAX_SHARD_BYTES)
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        raise ValueError(
+            f"arrow shard {oversized[0]['path']} is {oversized[0]['length']} "
+            f"bytes, above the {_MAX_SHARD_BYTES}-byte (2 GiB) binaryFile "
+            "row limit — re-shard the dataset (e.g. datasets "
+            "save_to_disk(max_shard_size='1GB')) or convert to parquet"
+        )
     head = (
         binaries.select("path", F.substring("content", 1, _SCHEMA_PEEK_BYTES).alias("header"))
         .orderBy("path")

@@ -48,6 +48,46 @@ def tumbling_window_agg(
     )
 
 
+_MEM_SINK_SEQ = iter(range(1, 1_000_000))
+
+
+def run_stream_to_table(df: DataFrame, output_mode: str) -> str:
+    """Execute a streaming DataFrame to completion into an in-session memory
+    sink (``availableNow`` trigger — drain everything currently available,
+    then stop) and return the sink's table name. The batch-equivalence
+    harness: the same semantics expressed as a stream land in a table a
+    batch oracle can diff. Memory sink is per-session/driver-bounded — a
+    production job swaps in a file/kafka sink; the STREAM side (joins,
+    windows, watermarks) is identical.
+
+    Streaming shuffles bypass AQE, so the state-store partition count is
+    whatever ``spark.sql.shuffle.partitions`` says at START (then frozen
+    into the checkpoint). Pin it to the cluster parallelism for the run and
+    restore the caller's value after — a 200-partition state store on a
+    32-core drain is pure task overhead."""
+    spark = df.sparkSession
+    name = f"__stream_result_{next(_MEM_SINK_SEQ)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+    return name
+
+
 def sliding_window_agg(
     df: DataFrame, ts_col: str, window: str, slide: str, aggs: dict[str, str], watermark: str = "1 hour"
 ) -> DataFrame:
@@ -289,11 +329,16 @@ def streaming_band_matches(
     nightly append is picked up without restart; candidates exist only
     across sides; the per-batch cost is the batch's own signatures plus
     candidate verification, never a corpus re-scan."""
-    from instructionspipe_spark.operators.dedup import _jaccard_kernel, minhash_signature
+    from instructionspipe_spark.operators.dedup import (
+        _jaccard_kernel,
+        _validated_band_store,
+        minhash_signature,
+    )
     from instructionspipe_spark.functions.text import shingle_normalize
 
     corpus_id_col = corpus_id_col or id_col
     corpus_text_col = corpus_text_col or text_col
+    corpus_store = _validated_band_store(corpus_store, num_perm, bands, ngram)
     rows_per_band = num_perm // bands
     sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram, engine=engine)
     # Banding inlined (not _banded_frame) so the normalized text rides along:

@@ -110,7 +110,7 @@ def test_openai_replay_no_retry(monkeypatch):
 
     rec = _fake_openai(monkeypatch, [("stop", "fine")])
     one = OpenAiLlm(model="m", temperature=0.3)._make_completer()
-    assert _run(one("hi")) == "fine"
+    assert _run(one(None, "hi")) == "fine"
     assert len(rec.calls) == 1
     c = rec.calls[0]
     assert c["temperature"] == 0.3 and c["frequency_penalty"] == 0.0
@@ -123,7 +123,7 @@ def test_openai_replay_length_escalation(monkeypatch):
 
     rec = _fake_openai(monkeypatch, [("length", "trunc"), ("stop", "full")])
     one = OpenAiLlm(model="m")._make_completer()
-    assert _run(one("hi")) == "full"
+    assert _run(one(None, "hi")) == "full"
     assert len(rec.calls) == 2
     assert rec.calls[0]["temperature"] == 0.0 and rec.calls[0]["frequency_penalty"] == 0.0
     assert rec.calls[1]["temperature"] == 1.0 and rec.calls[1]["frequency_penalty"] == 0.2
@@ -138,7 +138,7 @@ def test_openai_replay_budget_exhausted(monkeypatch):
         [("length", "t1"), ("length", "t2"), ("length", "t3"), ("length", "t4"), ("stop", "never")],
     )
     one = OpenAiLlm(model="m", length_retries=3)._make_completer()
-    assert _run(one("hi")) == "t4"
+    assert _run(one(None, "hi")) == "t4"
     assert len(rec.calls) == 4  # initial + 3 retries, never a 5th
 
 
@@ -152,5 +152,5 @@ def test_openai_replay_response_format_passthrough(monkeypatch):
     env = response_format_envelope("ans", {"type": "object", "properties": {"a": {"type": "string"}}})
     rec = _fake_openai(monkeypatch, [("length", "t"), ("stop", '{"a": "x"}')])
     one = OpenAiLlm(model="m", response_format_json=json.dumps(env))._make_completer()
-    assert _run(one("hi")) == '{"a": "x"}'
+    assert _run(one(None, "hi")) == '{"a": "x"}'
     assert [c["response_format"] for c in rec.calls] == [env, env]

@@ -69,3 +69,46 @@ def test_config_roundtrip_and_run(spark, tmp_path):
     assert rows[1]["session_id"] != rows[2]["session_id"]
     again = {r["patient_id"]: r["session_id"] for r in run_pipeline(records, pipe, MockLlm()).collect()}
     assert again[1] == rows[1]["session_id"]
+
+
+def test_config_directory_mode(spark, tmp_path):
+    """S5 directory mode (reference inf.py:90-102): a directory of *.json
+    configs loads every pipeline (sorted by filename), non-json entries
+    skipped; each loaded pipeline runs end-to-end."""
+    from instructionspipe_spark.plans.instructions import load_pipelines
+
+    second = {
+        "pipe": [
+            [{"name": "keywords", "scope": ["notes"], "content": "List keywords."}]
+        ]
+    }
+    cdir = tmp_path / "configs"
+    cdir.mkdir()
+    (cdir / "b_second.json").write_text(json.dumps(second))
+    (cdir / "a_first.json").write_text(json.dumps(CONFIG))
+    (cdir / "README.txt").write_text("not a config")
+
+    pipes = load_pipelines(str(cdir))
+    assert len(pipes) == 2
+    # sorted filename order: a_first (the 2-stage EHR config) then b_second
+    assert len(pipes[0].stages) == 2 and len(pipes[1].stages) == 1
+    assert pipes[1].stages[0][0].name == "keywords"
+
+    records = spark.createDataFrame(
+        [(1, "visit: prescribed X", "lab ok", "allergic to penicillin")],
+        ["patient_id", "encounters", "labs", "notes"],
+    )
+    for pipe in pipes:
+        assert run_pipeline(records, pipe, MockLlm()).first()["result"] is not None
+
+    # single-file path still yields exactly one pipeline
+    single = tmp_path / "one.json"
+    single.write_text(json.dumps(second))
+    assert len(load_pipelines(str(single))) == 1
+
+    import pytest
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        load_pipelines(str(empty))

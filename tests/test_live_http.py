@@ -48,7 +48,8 @@ class _Handler(BaseHTTPRequestHandler):
         srv: _ChatServer = self.server  # type: ignore[assignment]
         body = self.rfile.read(int(self.headers["Content-Length"]))
         payload = json.loads(body)
-        prompt = payload["messages"][0]["content"]
+        # The USER turn is the last message; a system prefix may precede it.
+        prompt = payload["messages"][-1]["content"]
         with srv.lock:
             srv.requests.append(payload)
             srv.prompt_calls[prompt] = srv.prompt_calls.get(prompt, 0) + 1
@@ -131,7 +132,7 @@ def test_live_http_retry_ladder_on_wire(spark):
         ladder = [
             (r["temperature"], r["frequency_penalty"])
             for r in srv.requests
-            if r["messages"][0]["content"] == "LENGTH:needs-retry"
+            if r["messages"][-1]["content"] == "LENGTH:needs-retry"
         ]
         assert ladder == [(0.0, 0.0), (1.0, 0.2)]
 
@@ -172,6 +173,40 @@ def test_live_http_null_and_empty_prompts_skip_network(spark):
         got = {r["id"]: r["ans"] for r in llm.complete_df(df, "p", "ans").collect()}
         assert got[1] is None and got[2] is None and got[3] == _answer("real")
         assert len(srv.requests) == 1  # nulls never reach the wire
+
+
+def test_live_http_system_prompt_is_separate_message(spark):
+    """The reference posts ``messages = prefix + [msg]`` — a properly-roled
+    system message plus the user turn (llm_cli.py:114). Drive run_stage with
+    OpenAiLlm against the live endpoint and assert the WIRE format: exactly
+    [system, user], the system content byte-equal to system_prompt(instr),
+    the user content just the scoped markdown — and the lineage ChatML
+    records exactly those messages, not a flattened concat."""
+    from instructionspipe_spark.plans.compiler import run_stage, system_prompt
+    from instructionspipe_spark.plans.instructions import Instruction
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    instr = Instruction(
+        name="summ", scope=("text",), role="summarizer", content="Summarize."
+    )
+    with _server() as (srv, base_url):
+        df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"]).coalesce(1)
+        llm = OpenAiLlm(model="mock-model", base_url=base_url)
+        row = run_stage(df, (instr,), llm, lineage=True).first()
+        assert len(srv.requests) == 1
+        msgs = srv.requests[0]["messages"]
+        assert [m["role"] for m in msgs] == ["system", "user"]
+        assert msgs[0]["content"] == system_prompt(instr)
+        assert msgs[1]["content"] == "# text\nhello world"
+        # completion came from the wire (server hashes the USER turn)
+        assert row["summ"] == _answer("# text\nhello world")
+        # lineage records the actual wire messages + the assistant reply
+        lin = [(m["role"], m["content"]) for m in row["summ__msgs"]]
+        assert lin == [
+            ("system", system_prompt(instr)),
+            ("user", "# text\nhello world"),
+            ("assistant", row["summ"]),
+        ]
 
 
 def test_live_http_structured_response_format_on_wire(spark):

@@ -953,6 +953,18 @@ def test_incremental_minhash_dedup(spark, tmp_path):
     release_persisted()
     assert out2 == out
 
+    # A store signed with different parameters joins on incompatible band
+    # hashes — without the stamp check every batch row would silently come
+    # back kept=true; with it the job fails loudly.
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="parameter mismatch"):
+        incremental_minhash_dedup(
+            corpus, batch, "doc_id", "text", num_perm=32, bands=8,
+            corpus_store=store,
+        ).collect()
+    release_persisted()
+
 
 def test_pq_codes_store_roundtrip(spark, tmp_path):
     """The persisted-codes path: encode once, write codebook + codes to
@@ -989,6 +1001,26 @@ def test_pq_codes_store_roundtrip(spark, tmp_path):
               ).collect()}
     release_persisted()
     assert stored == direct
+
+
+def test_pq_undersized_codebook_raises(spark):
+    """A corpus smaller than n_codes seeds an undersized codebook; the ADC
+    LUT is looked up positionally, so a silent misalignment would corrupt
+    every distance — the cardinality guard must raise instead."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.similarity import pq_topk_deterministic
+    from instructionspipe_spark.session import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tiny = emb.orderBy("vec_id").limit(3)  # < n_codes=8 seed vectors
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with _pytest.raises(Exception, match="cardinality mismatch"):
+        pq_topk_deterministic(tiny, q, k=2, m=4, n_codes=8).collect()
+    release_persisted()
 
 
 def test_template_block_strip(spark):

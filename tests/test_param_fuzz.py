@@ -381,10 +381,12 @@ def test_pq_deterministic_self_retrieval(spark):
 def test_ivfadc_recall_floor(spark):
     """Trained IVFADC (KMeans cells + per-subspace codebooks + rerank) holds
     a recall floor vs brute force. Measured at cells=8/probe=4/codes=32/
-    rerank=200 on sf0.01: mean 0.871, min 0.40 — the coarse-cell probe is
-    the ceiling on these UNCLUSTERED synthetic embeddings (candidate-set
-    recall == final recall; ADC+rerank loses nothing), so floors are set
-    against the probe ceiling, not against the PQ family's 0.97."""
+    rerank=200 on sf0.01: single assignment mean 0.871 / min 0.40 — the
+    coarse-cell probe is the ceiling on these UNCLUSTERED synthetic
+    embeddings (candidate-set recall == final recall; ADC+rerank loses
+    nothing). Multiple assignment (n_assign=2: each corpus vector indexed
+    under its 2 nearest cells) recovers the boundary losses: measured mean
+    0.971 / min 0.80 for 2× the code rows."""
     from instructionspipe_spark.operators.similarity import brute_force_topk, ivfadc_topk
     from instructionspipe_spark.session import release_persisted
 
@@ -401,6 +403,18 @@ def test_ivfadc_recall_floor(spark):
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.75, f"ivfadc mean recall@5 {mean_recall:.3f} < 0.75 floor"
     assert min(recalls) >= 0.3, f"ivfadc min recall@5 {min(recalls):.3f} < 0.3 floor"
+
+    got2 = _topk_sets(
+        ivfadc_topk(
+            emb, q, k=5, n_cells=8, n_probe=4, n_codes=32, rerank=200,
+            trained=True, n_assign=2,
+        )
+    )
+    release_persisted()
+    recalls2 = [len(got2.get(qid, set()) & t) / len(t) for qid, t in truth.items()]
+    mean2 = sum(recalls2) / len(recalls2)
+    assert mean2 >= 0.9, f"ivfadc n_assign=2 mean recall@5 {mean2:.3f} < 0.9 floor"
+    assert min(recalls2) >= 0.6, f"ivfadc n_assign=2 min recall@5 {min(recalls2):.3f} < 0.6 floor"
 
 
 def test_ivfadc_probe_all_equals_pq(spark):

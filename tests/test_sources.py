@@ -204,6 +204,24 @@ def test_read_arrow_ipc_multi_shard(spark, tmp_path):
     assert sorted((r["id"], r["text"]) for r in out.collect()) == [(1, "a"), (2, "b"), (3, "c")]
 
 
+def test_read_arrow_ipc_oversized_shard_guard(spark, tmp_path, monkeypatch):
+    """A shard above the binaryFile 2 GiB row ceiling must fail up front with
+    an actionable message (re-shard / convert), not an opaque mid-scan
+    executor error. The ceiling is monkeypatched down so the test stays
+    byte-cheap; the guard reads only listing metadata either way."""
+    import pytest
+
+    from instructionspipe_spark.sources import hf
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    _write_arrow_shard(str(d / "small.arrow"), [(1, "a")])
+    _write_arrow_shard(str(d / "big.arrow"), [(2, "b" * 4096)])
+    monkeypatch.setattr(hf, "_MAX_SHARD_BYTES", 1024)
+    with pytest.raises(ValueError, match="re-shard"):
+        hf.read_arrow_ipc(spark, str(d))
+
+
 def test_read_arrow_ipc_stream_format(spark, tmp_path):
     from instructionspipe_spark.sources.hf import read_arrow_ipc
 
