@@ -27,40 +27,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Gate rotation: the driver's correctness harness samples the FIRST 50
-# entries of queries(). Round 4 gated registry-definition order, leaving 47
-# queries (notably the round-4 additions) with no driver-gate record — so
-# round 5 leads with exactly those 47, plus the three whose behavior changed
-# this round (bpe_token_counts gained its hash oracle; cross_corpus_near_dups
-# got the stats-gated broadcast; instructions_mapreduce is the flagship).
-# Every query keeps its standing record either way via ORACLE_FULL_r*.json.
-# r5 swaps: instructions_mapreduce (r4 gate record + entry() smoke every
-# round), cross_corpus_near_dups (r4 record; this round only re-routed its
-# broadcast hint) and q6_forecast_revenue (family covered by the other gated
-# TPC-H rows + ORACLE_FULL) yield their slots to the three r5 additions:
-# similarity_multitable_topk, word_block_dedup, lm_block_manifest.
-# The five late-r5 additions (char_entropy_quality, incremental_batch_dedup,
-# similarity_pq_topk, similarity_ivfadc_topk, template_block_strip) exceed
-# the 50-slot gate; they carry ORACLE_FULL_r5 records now and queue for the
-# r6 rotation.
+# entries of queries(). Round-6 priority order (VERDICT_r5 "Next round" #1):
+# 1. The NINE never-driver-gated queries — the five late-r5 additions
+#    (char_entropy_quality, incremental_batch_dedup, similarity_pq_topk,
+#    similarity_ivfadc_topk, template_block_strip) plus the four that missed
+#    every rotation (lsh_bucket_stats, frequent_ngrams, lm_corpus_blocks,
+#    agentic_routed_fanout).
+# 2. The TWO new r6 streaming-equivalence queries (streaming_tumbling_equiv,
+#    streaming_band_admission) — first oracle rows for the streaming layer.
+# 3. word_block_dedup (its survivor election changed this round: packed-long
+#    key -> min(struct) — re-earn the gate record on the new code) and
+#    q6_forecast_revenue (last gated r1, the longest-standing record).
+# 4. Backfill: 37 of the r4-gated cohort (longest unguarded). Left for
+#    ORACLE_FULL coverage this round: family-redundant rows whose siblings
+#    were gated r5 (q1/q3/q5 of the 15-query TPC-H family; agg_rollup/
+#    agg_distinct/agg_cube next to grouping_sets/salted/pivot/unpivot;
+#    tumbling/session/sliding batch windows next to window_moving_avg and
+#    the new streaming twins) plus cache_keys (inside cached_completions).
 _GATE_FIRST = (
-    "approx_distinct", "self_verification", "constrained_json_parse",
-    "tag_extraction", "media_features", "chatml_family_adjust",
-    "cached_completions", "judge_fanout_ensemble", "grpo_reward_advantage",
-    "hash_split_counts", "similarity_lsh_multiprobe", "similarity_lsh_topk",
-    "agentic_fanout", "similarity_ivf_topk",
-    "q4_priority_exists", "q8_market_share", "q10_returned_revenue",
-    "q13_customer_distribution", "q14_promo_ratio", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
-    "q22_dormant_customers", "grouping_sets_revenue", "salted_aggregate",
-    "pivot_event_matrix", "percentile_order_value", "variant_json_extract",
-    "join_full_outer", "unpivot_metrics", "window_moving_avg",
-    "date_arithmetic", "q7_nation_trade", "simhash_near_dedup",
-    "repetition_stats", "text_redaction", "length_quantile_filter",
-    "contamination_screen", "stratified_corpus_sample", "temperature_mixture",
-    "shard_summary", "length_quantile_filter_approx", "document_chunks",
-    "tfidf_top_terms", "unigram_doc_logprob",
-    "bpe_token_counts", "similarity_multitable_topk", "word_block_dedup",
-    "lm_block_manifest",
+    "char_entropy_quality", "incremental_batch_dedup", "similarity_pq_topk",
+    "similarity_ivfadc_topk", "template_block_strip", "lsh_bucket_stats",
+    "frequent_ngrams", "lm_corpus_blocks", "agentic_routed_fanout",
+    "streaming_tumbling_equiv", "streaming_band_admission",
+    "word_block_dedup", "q6_forecast_revenue",
+    "join_dims_broadcast", "join_semi_anti", "window_rank_orders",
+    "window_lag_running", "set_operations", "scope_projection",
+    "low_length_filter", "group_counts", "distribution_fractions",
+    "exact_dedup_first", "dedup_multi_key", "batch_assignment",
+    "capped_group_sample", "seeded_shuffle_head", "grouped_split",
+    "minhash_signatures", "minhash_lsh_dedup", "simhash_exact_dedup",
+    "simhash_fingerprints", "ngram_jaccard_pairs", "jaccard_pairs_lsh",
+    "near_dup_components", "embedding_near_dup", "similarity_brute_topk",
+    "token_quality_stats", "language_quality", "cluster_best_survivor",
+    "weighted_corpus_sample", "sequence_packing", "greedy_packing",
+    "corpus_prep_pipeline", "doc_fingerprints", "chatml_flatten",
+    "asof_join_purchases", "range_join_events", "judge_metrics",
+    "cost_estimate",
 )
 
 

@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.
+    # streaming_tumbling_equiv / streaming_band_admission likewise: the
+    # stream drains to the memory sink at BUILD time (run_stream_to_table),
+    # so the noop sink would time only the sink-table scan.
 ]
 
 
@@ -312,6 +315,92 @@ def bench_skew() -> int:
     return 0
 
 
+# Queries whose round-over-round medians drifted without code changes
+# (VERDICT r5: tfidf 1.48x, unigram 1.55x, grpo 1.41x vs r4) — always
+# included in the pressure A/B so the suite-pressure hypothesis stays
+# measured, not asserted.
+PRESSURE_WATCHLIST = [
+    "tfidf_top_terms",
+    "unigram_doc_logprob",
+    "grpo_reward_advantage",
+]
+
+
+def bench_pressure() -> int:
+    """Sustained-pressure A/B (VERDICT r5 item 8): re-measure the 10 slowest
+    queries (by the last full run's BENCH_SUMMARY.json medians) plus the
+    drift watchlist IN ISOLATION — fresh ordering, 2x reps, no other queries
+    interleaved — and compare the solo median to the in-suite median. A
+    solo/suite ratio well under 1 says the suite number carries
+    session-pressure cost (JVM heap/codegen-cache churn from 60+ distinct
+    plans), not plan cost; a ratio ~1 says the plan itself is that
+    expensive. Appends a stability table to BENCH_VARIANCE.md."""
+    import __spark_entry__ as entrymod
+    from instructionspipe_spark import get_spark, load_tables
+    from instructionspipe_spark.registry import release_persisted
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = 2 * max(5, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    with open(os.path.join(here, "BENCH_SUMMARY.json")) as f:
+        suite = json.load(f)
+    suite_medians: dict[str, float] = suite["queries"]
+    slowest = sorted(suite_medians, key=suite_medians.get, reverse=True)[:10]
+    names = list(dict.fromkeys(slowest + [n for n in PRESSURE_WATCHLIST if n in suite_medians]))
+
+    spark = get_spark(app_name="instructionspipe-spark-pressure")
+    queries = entrymod.queries()
+    tables = load_tables(spark, sf_dir)
+    tables["lineitem"].count()
+
+    def run_once(name: str) -> float:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    rows = []
+    for name in names:
+        run_once(name)  # per-query warmup
+        samples = [run_once(name) for _ in range(reps)]
+        solo = _median(samples)
+        rows.append(
+            {
+                "query": name,
+                "suite": suite_medians[name],
+                "solo": round(solo, 3),
+                "solo_iqr": round(_iqr(samples), 3),
+                "ratio": round(solo / suite_medians[name], 2) if suite_medians[name] else None,
+            }
+        )
+        print(f"# {name}: solo {solo:.2f}s vs suite {suite_medians[name]:.2f}s", file=sys.stderr)
+        release_persisted()
+
+    md = [
+        "",
+        "## Pressure A/B — solo vs in-suite medians",
+        "",
+        f"The 10 slowest queries (last full run) + the drift watchlist, re-run",
+        f"in ISOLATION at {reps} reps each (`python bench.py --pressure`, sf dir",
+        f"`{sf_dir}`). `ratio` = solo/suite: ~1.0 means the in-suite median is",
+        "genuine plan cost; well below 1.0 means the suite number carries",
+        "session pressure (codegen-cache/heap churn across 60+ distinct plans),",
+        "not a plan regression.",
+        "",
+        "| query | suite median s | solo median s | solo IQR | solo/suite |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append(
+            f"| {r['query']} | {r['suite']} | {r['solo']} | {r['solo_iqr']} | {r['ratio']} |"
+        )
+    md.append("")
+    with open(os.path.join(here, "BENCH_VARIANCE.md"), "a") as f:
+        f.write("\n".join(md))
+    print(json.dumps({"metric": "pressure_ab", "sf": suite.get("sf"), "rows": rows}))
+    return 0
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from instructionspipe_spark import get_spark
@@ -434,4 +523,6 @@ if __name__ == "__main__":
         raise SystemExit(bench_engines())
     if "--skew" in sys.argv[1:]:
         raise SystemExit(bench_skew())
+    if "--pressure" in sys.argv[1:]:
+        raise SystemExit(bench_pressure())
     raise SystemExit(main())
