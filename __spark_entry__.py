@@ -61,8 +61,11 @@ _GATE_FIRST = (
     "token_quality_stats", "language_quality", "cluster_best_survivor",
     "weighted_corpus_sample", "sequence_packing", "greedy_packing",
     "corpus_prep_pipeline", "doc_fingerprints", "chatml_flatten",
-    "asof_join_purchases", "range_join_events", "judge_metrics",
-    "cost_estimate",
+    "asof_join_purchases",
+    # r6-new operators displace the last three r4-recorded backfill slots
+    # (range_join_events, judge_metrics, cost_estimate — all r4-gated +
+    # ORACLE_FULL green): new code earns the driver record first.
+    "quality_classifier", "perplexity_buckets", "semantic_dedup",
 )
 
 

@@ -86,6 +86,10 @@ BENCH_QUERIES = [
     "similarity_pq_topk",
     "similarity_ivfadc_topk",
     "template_block_strip",
+    # round 6 additions
+    "quality_classifier",
+    "perplexity_buckets",
+    "semantic_dedup",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

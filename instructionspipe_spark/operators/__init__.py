@@ -34,6 +34,7 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     template_block_strip,
     word_block_dedup,
     lsh_bucket_stats,
+    semantic_dedup,
 )
 from instructionspipe_spark.operators.sampling import (  # noqa: F401
     capped_group_sample,
@@ -74,6 +75,8 @@ from instructionspipe_spark.operators.textstats import (  # noqa: F401
     token_count,
     token_count_bpe,
     unigram_doc_logprob,
+    quality_classifier_score,
+    perplexity_buckets,
 )
 from instructionspipe_spark.operators.graph import (  # noqa: F401
     connected_components,

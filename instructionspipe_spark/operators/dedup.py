@@ -1224,3 +1224,109 @@ def lsh_bucket_stats(
             "rank",
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    threshold: float = 0.92,
+    round_digits: int = 6,
+    trained: bool = False,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate removal
+    — cluster the corpus into ``n_cells`` coarse cells, form cosine pairs
+    ONLY within a cell, and cut every vector that has a smaller-id neighbor
+    above ``threshold`` (deterministic stand-in for the paper's
+    keep-one-per-semantic-cluster rule; the reference has no embedding
+    operators at all). This is the semantic complement to MinHash — it
+    catches paraphrases and re-encodings that share no shingles.
+
+    Two quantizer modes like :func:`ivfadc_topk`: default deterministic
+    (cells = the ``n_cells`` lowest-id vectors; fully SQL-expressible,
+    oracle-checkable) or ``trained=True`` (``pyspark.ml`` KMeans — the
+    production configuration).
+
+    Output: one row per non-null-normalizable input vector —
+    ``(id_col, cell, kept, dup_of, cosine)`` where ``dup_of`` is the
+    smallest same-cell id above threshold (NULL + kept=true otherwise).
+
+    Scale shape: pairs exist only WITHIN a cell (the SemDeDup design point:
+    at 100 TB n_cells is ~1e5, cells are ~1e4 rows, so the within-cell
+    pairwise is bounded while cross-cell pairs — overwhelmingly non-dups —
+    are never formed); the cell assignment is a broadcast of n_cells
+    centroids + a two-phase groupBy-max argmax (map-side combine, no
+    window over the corpus); the loser election is the dedup family's
+    two-phase ``groupBy(id_b).min(id_a)`` + one join back. Boundary pairs
+    split across cells are missed by construction — the documented
+    SemDeDup trade (raise n_cells overlap via a second clustering pass if
+    that loss matters).
+    """
+    from instructionspipe_spark.functions.vectors import dot_product, l2_normalize
+    from instructionspipe_spark.session import ensure_parallelism, managed_persist
+
+    df = ensure_parallelism(df)
+    v = df.select(F.col(id_col).alias("__id"), l2_normalize(F.col(vec_col)).alias("__nv")).filter(
+        F.col("__nv").isNotNull()
+    )
+    if trained:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        v_ml = v.withColumn("__mlvec", array_to_vector(F.col("__nv").cast("array<double>")))
+        model = KMeans(
+            k=n_cells, seed=seed, maxIter=max_iter,
+            featuresCol="__mlvec", predictionCol="__cell",
+        ).fit(v_ml)
+        cent = df.sparkSession.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+            ["__cell", "__cent"],
+        ).select("__cell", F.col("__cent").cast("array<double>").alias("__cent"))
+    else:
+        cent = (
+            v.orderBy("__id")
+            .limit(n_cells)
+            .select(F.col("__id").alias("__cell"), F.col("__nv").alias("__cent"))
+        )
+    # argmax cell per vector: two-phase groupBy-max on a (rounded-cos,
+    # -cell) struct — map-side combine, lowest cell id on ties.
+    assigned = managed_persist(
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            "__id",
+            "__nv",
+            F.struct(
+                F.round(dot_product(F.col("__nv"), F.col("__cent")), round_digits).alias("__c"),
+                (-F.col("__cell")).alias("__negcell"),
+            ).alias("__s"),
+        )
+        .groupBy("__id")
+        .agg(F.max("__s").alias("__m"), F.first("__nv").alias("__nv"))
+        .select("__id", (-F.col("__m.__negcell")).alias("__cell"), "__nv")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__cell") == F.col("b.__cell")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("__id_a"),
+            F.col("b.__id").alias("__id_b"),
+            F.round(dot_product(F.col("a.__nv"), F.col("b.__nv")), round_digits).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= F.lit(threshold))
+    )
+    losers = pairs.groupBy("__id_b").agg(
+        F.min(F.struct("__id_a", "__cos")).alias("__l")
+    )
+    return (
+        assigned.join(losers, assigned["__id"] == losers["__id_b"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cell").alias("cell"),
+            F.col("__l").isNull().alias("kept"),
+            F.col("__l.__id_a").alias("dup_of"),
+            F.col("__l.__cos").alias("cosine"),
+        )
+    )

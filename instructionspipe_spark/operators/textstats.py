@@ -465,3 +465,149 @@ def frequent_word_ngrams(
         .filter(F.col("rank") <= top_k)
         .select("ngram", "n_occurrences", "n_docs", "rank")
     )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 1024,
+    threshold: float = 0.5,
+    weights: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hashed-linear quality classifier score — the fastText/CCNet-shaped
+    filter every large pretraining pipeline runs (a linear model over hashed
+    bag-of-words features; reference scope: quality gating appears only as
+    hand-set length thresholds, ``etl_slimpajama_dc_proc.py``): token ->
+    feature bucket ``base_hash48(token) pmod dim`` -> per-feature weight ->
+    document logit = mean feature weight -> ``sigmoid`` probability ->
+    keep/cut at ``threshold``.
+
+    ``weights`` is the production seam: a ``(feature, weight)`` frame from a
+    trained model, broadcast-joined (dim rows — tiny). With ``weights=None``
+    a deterministic data-free pseudo-model derives each bucket's weight from
+    ``md5('w|' || feature)``, uniform in [-1, 1] — same wire shape, fully
+    SQL-expressible, so the whole operator is oracle-checkable end to end.
+
+    Output: ``(id_col, n_tokens, logit, prob, keep)``; zero-token documents
+    get NULL logit/prob and ``keep=false`` (nothing to judge).
+
+    Scale shape (default path): pure per-row expression — tokenize, map
+    tokens through hash->weight inside ONE higher-order ``aggregate``, no
+    explode, no join, no shuffle, whole-stage codegen; a 100 TB corpus scan
+    stays a scan. The ``weights`` path explodes tokens and broadcast-joins
+    the dim-row weight table, then re-aggregates per doc (one shuffle keyed
+    by the doc id, map-side partials).
+    """
+    from instructionspipe_spark.operators.dedup import base_hash48
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    def feat(tok: Column) -> Column:
+        return F.pmod(base_hash48(tok), F.lit(dim))
+
+    def pseudo_weight_k(feature: Column) -> Column:
+        """Integer weight numerator k in [0, 2000]; the weight is (k-1000)/1000.
+        Summation stays in EXACT integer space so the mean is one float
+        division — engines whose float-sum accumulation orders differ
+        (Spark's left fold vs DuckDB's list_sum) still round identically."""
+        h = base_hash48(F.concat(F.lit("w|"), feature.cast("string")))
+        return F.pmod(h, F.lit(2001))
+
+    # NULL text tokenizes to NULL and F.size(NULL) is -1, not 0 — coalesce to
+    # an empty array so zero- and null-text rows share the n_tokens=0 path.
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(
+            _lower_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__toks"),
+    )
+    if weights is None:
+        ksum = F.aggregate(
+            F.transform(F.col("__toks"), lambda t: pseudo_weight_k(feat(t))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        n = F.size("__toks")
+        logit = (ksum - F.lit(1000) * n).cast("double") / (F.lit(1000.0) * n)
+        scored = base.select(
+            id_col,
+            n.alias("n_tokens"),
+            F.when(n > 0, F.round(logit, round_digits)).alias("logit"),
+        )
+    else:
+        w = weights.select(
+            F.col(weights.columns[0]).alias("__feat"), F.col(weights.columns[1]).alias("__w")
+        )
+        toks = base.select(id_col, F.size("__toks").alias("__n"), F.explode("__toks").alias("__t"))
+        scored = (
+            toks.withColumn("__feat", feat(F.col("__t")))
+            .join(F.broadcast(w), "__feat", "left")
+            .groupBy(id_col)
+            .agg(
+                F.first("__n").alias("n_tokens"),
+                F.round(F.avg(F.coalesce(F.col("__w"), F.lit(0.0))), round_digits).alias("logit"),
+            )
+        )
+        # zero-token docs never explode — restore them with NULL logit
+        scored = (
+            base.select(id_col, F.size("__toks").alias("n_tokens"))
+            .filter(F.col("n_tokens") == 0)
+            .withColumn("logit", F.lit(None).cast("double"))
+            .unionByName(scored)
+        )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), round_digits)
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "logit",
+        prob.alias("prob"),
+        F.coalesce(prob >= F.lit(threshold), F.lit(False)).alias("keep"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): score
+    every document with the corpus-self-trained unigram LM
+    (:func:`unigram_doc_logprob`), then split each language into
+    head / middle / tail terciles by score — head (most fluent third) feeds
+    training directly, middle is kept-with-caution, tail is the junk
+    candidate pool. CCNet uses a Wikipedia-trained 5-gram KenLM; the
+    train-nothing unigram twin keeps the whole operator oracle-checkable
+    while the bucketing machinery is identical.
+
+    Output: ``(id_col, lang, mean_logprob, n_tokens, bucket)`` with bucket
+    in {'head','middle','tail'}; zero-token docs are absent (no score).
+
+    Scale shape: the LM score is unigram_doc_logprob's two partial aggs;
+    the tercile cuts are ONE exact-percentile aggregate per language — a
+    languages-sized frame (tiny) broadcast back; bucketing is a comparison
+    against the broadcast cuts, never a per-lang global sort/ntile (an
+    ntile window would put each language's entire corpus on one task). At
+    100 TB swap the exact percentile for approx_percentile exactly like
+    length_quantile_filter_approx — same plan, bounded state.
+    """
+    scores = unigram_doc_logprob(df, id_col, text_col, round_digits=round_digits)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    scored = scores.join(langs, id_col)
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.percentile("mean_logprob", F.lit(1.0 / 3.0)), round_digits).alias("__lo"),
+        F.round(F.percentile("mean_logprob", F.lit(2.0 / 3.0)), round_digits).alias("__hi"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("__hi"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("__lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(id_col, "lang", "mean_logprob", "n_tokens", bucket.alias("bucket"))
+    )

@@ -4614,3 +4614,143 @@ def template_block_strip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly groupBy."""
     (documents,) = _t(spark, sf_dir, "documents")
     return ops.template_block_strip(documents, "doc_id", "text", block_words=8, max_doc_frequency=2)
+
+
+# ---------------------------------------------------------------------------
+# §2.12 r6 additions: hashed-linear quality classifier, CCNet perplexity
+# buckets, SemDeDup embedding-space dedup
+# ---------------------------------------------------------------------------
+
+_QC_DIM = 1024
+_QC_FEAT = f"(CAST('0x' || substr(md5(t), 1, 12) AS BIGINT) % {_QC_DIM})"
+# Integer weight numerator k in [0, 2000] (weight = (k-1000)/1000): the
+# per-doc sum stays in exact integer space, so the mean is a single float
+# division and rounds identically in both engines regardless of their
+# float-sum accumulation order.
+_QC_K = (
+    "(CAST('0x' || substr(md5('w|' || CAST(" + _QC_FEAT + " AS VARCHAR)), 1, 12) AS BIGINT)"
+    " % 2001)"
+)
+
+
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, COALESCE({_TFIDF_TOKS_SQL}, []) AS __toks FROM documents),
+    scored AS (
+        SELECT doc_id, len(__toks) AS n_tokens,
+               CASE WHEN len(__toks) > 0 THEN
+                 ROUND(CAST(list_sum(list_transform(__toks, t -> {_QC_K}))
+                            - 1000 * len(__toks) AS DOUBLE)
+                       / (1000.0 * len(__toks)), 6)
+               END AS logit
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, logit,
+           ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+           COALESCE(ROUND(1.0 / (1.0 + exp(-logit)), 6) >= 0.5, false) AS keep
+    FROM scored
+    """,
+)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality classifier (operators/textstats.py:
+    quality_classifier_score): fastText/CCNet-shaped token->hashed-feature->
+    weight->sigmoid scoring with the deterministic pseudo-model — a pure
+    per-row expression pass (one higher-order aggregate, no explode, no
+    join, no shuffle); the trained-weights path broadcast-joins a dim-row
+    frame instead."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.quality_classifier_score(documents, "doc_id", "text", dim=_QC_DIM)
+
+
+@query(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TFIDF_TOKS_SQL}) AS term FROM documents
+    ),
+    freq AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
+    totals AS (SELECT SUM(tc) AS n_tokens, COUNT(*) AS vocab FROM freq),
+    scores AS (
+        SELECT t.doc_id,
+               ROUND(AVG(ln((f.tc + 1.0) / (tot.n_tokens + CAST(tot.vocab AS DOUBLE)))), 6) AS mean_logprob,
+               COUNT(*) AS n_tokens
+        FROM toks t JOIN freq f USING (term), totals tot
+        GROUP BY t.doc_id
+    ),
+    scored AS (
+        SELECT s.doc_id, d.lang, s.mean_logprob, s.n_tokens
+        FROM scores s JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+        SELECT lang,
+               ROUND(quantile_cont(mean_logprob, 1.0/3.0), 6) AS lo,
+               ROUND(quantile_cont(mean_logprob, 2.0/3.0), 6) AS hi
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.mean_logprob, s.n_tokens,
+           CASE WHEN s.mean_logprob >= c.hi THEN 'head'
+                WHEN s.mean_logprob >= c.lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c USING (lang)
+    """,
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing per language
+    (operators/textstats.py:perplexity_buckets): unigram LM score ->
+    per-lang exact tercile cuts (languages-sized frame, broadcast back) ->
+    comparison bucketing. Never a per-lang ntile window — that would sort
+    each language's whole corpus on one task."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.perplexity_buckets(documents, "doc_id", "text", "lang")
+
+
+_SEMDEDUP_CELLS = 8
+_SEMDEDUP_THRESHOLD = 0.8
+
+
+def _semantic_dedup_oracle(n_cells: int = _SEMDEDUP_CELLS, threshold: float = _SEMDEDUP_THRESHOLD) -> str:
+    dot_ac = "CAST(list_sum(list_transform(range(1, len(a.__nv) + 1), i -> a.__nv[i] * c.__cent[i])) AS DOUBLE)"
+    return f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cell, __nv AS __cent FROM v ORDER BY vec_id LIMIT {n_cells}
+    ),
+    assigned AS (
+        SELECT vec_id, cell, __nv FROM (
+            SELECT a.vec_id, c.cell, a.__nv,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({dot_ac}, 6) DESC, c.cell) AS rn
+            FROM v a, cent c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_DOT_SQL}, 6) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND({_DOT_SQL}, 6) >= {threshold!r}
+    ),
+    losers AS (
+        SELECT id_b, id_a AS dup_of, cos FROM (
+            SELECT id_b, id_a, cos,
+                   ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a, cos) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT s.vec_id, s.cell, l.id_b IS NULL AS kept, l.dup_of, l.cos AS cosine
+    FROM assigned s LEFT JOIN losers l ON s.vec_id = l.id_b
+    """
+
+
+@query("semantic_dedup", oracle=_semantic_dedup_oracle())
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup embedding-space near-dedup (operators/dedup.py:
+    semantic_dedup): coarse cells bound the pairwise cosine work, smallest
+    same-cell id above threshold wins — paraphrase/re-encoding dedup that
+    MinHash cannot see. Deterministic-cell twin of the KMeans-trained
+    production mode."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return ops.semantic_dedup(
+        embeddings, "vec_id", "embedding",
+        n_cells=_SEMDEDUP_CELLS, threshold=_SEMDEDUP_THRESHOLD,
+    )

@@ -1055,3 +1055,106 @@ def test_template_block_strip(spark):
     assert out[4]["n_kept"] == out[4]["n_blocks"]  # unique doc untouched
     assert out[5]["text"] == "" and out[5]["n_blocks"] == 0
     assert out[6]["text"] == "" and out[6]["n_blocks"] is None
+
+
+def test_quality_classifier_score(spark):
+    """Hashed-linear scorer: deterministic pseudo-model path (pure
+    expression) and trained-weights path (broadcast join), edge rows
+    (empty/None text) keep=false with NULL score."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.textstats import quality_classifier_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, ""),
+            (3, None),
+            (4, "alpha beta gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in quality_classifier_score(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_tokens"] == 9 and out[1]["logit"] is not None
+    assert abs(out[1]["prob"] - 1 / (1 + __import__("math").exp(-out[1]["logit"]))) < 1e-5
+    for i in (2, 3):
+        assert out[i]["logit"] is None and out[i]["prob"] is None and out[i]["keep"] is False
+    assert out[4]["keep"] == (out[4]["prob"] >= 0.5)
+
+    # trained-weights seam: a weights frame that scores 'alpha beta gamma'
+    # tokens at +1 must yield logit 1.0 -> prob ~0.731 -> keep
+    from instructionspipe_spark.operators.dedup import base_hash48
+
+    feats = (
+        spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], ["t"])
+        .select(F.pmod(base_hash48(F.col("t")), F.lit(1024)).alias("feature"))
+        .withColumn("weight", F.lit(1.0))
+    )
+    outw = {
+        r["doc_id"]: r.asDict()
+        for r in quality_classifier_score(docs, "doc_id", "text", weights=feats).collect()
+    }
+    assert outw[4]["logit"] == 1.0 and outw[4]["keep"] is True
+    # unmatched features coalesce to 0-weight, zero-token docs restored
+    assert outw[2]["logit"] is None and outw[3]["keep"] is False
+    assert outw[1]["n_tokens"] == 9
+
+
+def test_perplexity_buckets(spark):
+    """Per-lang tercile bucketing: buckets are consistent with the cuts
+    (every head score >= every middle score >= every tail score within a
+    language) and zero-token docs are absent."""
+    from instructionspipe_spark.operators.textstats import perplexity_buckets
+
+    rows = []
+    # lang 'en': 9 docs with increasingly repeated common tokens (higher
+    # unigram logprob); lang 'de': 6 docs, plus an empty doc.
+    for i in range(9):
+        rows.append((i, "common " * (i + 1) + f"rare{i}", "en"))
+    for i in range(9, 15):
+        rows.append((i, "haus " * (i - 8) + f"wort{i}", "de"))
+    rows.append((99, "", "en"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(docs, "doc_id", "text", "lang").collect()
+    assert all(r["doc_id"] != 99 for r in out)  # no tokens -> no score
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "de"}
+    for lang, rs in by_lang.items():
+        head = [r["mean_logprob"] for r in rs if r["bucket"] == "head"]
+        mid = [r["mean_logprob"] for r in rs if r["bucket"] == "middle"]
+        tail = [r["mean_logprob"] for r in rs if r["bucket"] == "tail"]
+        assert head and mid and tail, f"{lang}: empty bucket"
+        assert min(head) >= max(mid) and min(mid) >= max(tail)
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: same-cell near-identical vectors collapse to the smallest
+    id; distinct vectors survive; zero vectors are excluded."""
+    from instructionspipe_spark.operators.dedup import semantic_dedup
+    from instructionspipe_spark.session import release_persisted
+
+    # ids 1 and 2 are the deterministic cell seeds (orthogonal on purpose —
+    # near-dups must not straddle the two cells).
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),      # seed, cell A
+        (2, [0.0, 1.0, 0.0, 0.0]),      # seed, cell B
+        (3, [0.999, 0.01, 0.0, 0.0]),   # cell A, ~dup of 1
+        (4, [0.01, 0.999, 0.0, 0.0]),   # cell B, ~dup of 2
+        (5, [0.7, 0.7, 0.1, 0.0]),      # near neither at 0.99
+        (6, [0.0, 0.0, 0.0, 0.0]),      # zero vector -> excluded
+        (7, [1.0, 0.001, 0.0, 0.0]),    # cell A, ~dup of 1 (and of 3)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r.asDict() for r in semantic_dedup(df, "vec_id", "embedding", n_cells=2, threshold=0.99).collect()}
+    release_persisted()
+    assert 6 not in out  # zero-norm dropped
+    assert out[1]["kept"] is True and out[2]["kept"] is True
+    assert out[3]["kept"] is False and out[3]["dup_of"] == 1
+    assert out[4]["kept"] is False and out[4]["dup_of"] == 2
+    assert out[7]["kept"] is False and out[7]["dup_of"] == 1  # min id wins over 3
+    assert out[5]["kept"] is True
+    # pairs only within cells: the two seeds anchor different cells
+    assert out[1]["cell"] != out[2]["cell"]
