@@ -1158,3 +1158,69 @@ def test_semantic_dedup(spark):
     assert out[5]["kept"] is True
     # pairs only within cells: the two seeds anchor different cells
     assert out[1]["cell"] != out[2]["cell"]
+
+
+def test_semantic_dedup_trained_mode(spark):
+    """KMeans-trained cells: same output contract as the deterministic twin,
+    seeded-deterministic across runs, and near-identical vectors still
+    collapse (trained cells can only merge them into the same cluster)."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import semantic_dedup
+    from instructionspipe_spark.session import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    # plant an exact duplicate of the smallest vec_id at a fresh id
+    first = emb.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    df = emb.select("vec_id", "embedding").unionByName(first)
+    out1 = {r["vec_id"]: r.asDict() for r in semantic_dedup(
+        df, "vec_id", "embedding", n_cells=4, threshold=0.99, trained=True, seed=7
+    ).collect()}
+    release_persisted()
+    planted = out1[1_000_000]
+    assert planted["kept"] is False and planted["cosine"] == 1.0
+    out2 = {r["vec_id"]: r.asDict() for r in semantic_dedup(
+        df, "vec_id", "embedding", n_cells=4, threshold=0.99, trained=True, seed=7
+    ).collect()}
+    release_persisted()
+    assert out1 == out2  # seeded determinism
+
+
+def test_quality_classifier_paths_agree(spark):
+    """Feeding the weights path the SAME pseudo-model as the default
+    expression path (all dim feature buckets, weight (k-1000)/1000) must
+    reproduce the default scores — pins the two physical plans (zero-shuffle
+    higher-order aggregate vs explode + broadcast join + partial agg) to one
+    semantic contract."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import base_hash48
+    from instructionspipe_spark.operators.textstats import quality_classifier_score
+
+    dim = 64
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    feats = spark.range(dim).select(
+        F.col("id").alias("feature"),
+        (
+            (F.pmod(base_hash48(F.concat(F.lit("w|"), F.col("id").cast("string"))), F.lit(2001))
+             - F.lit(1000)).cast("double") / F.lit(1000.0)
+        ).alias("weight"),
+    )
+    default = {r["doc_id"]: r.asDict() for r in
+               quality_classifier_score(docs, "doc_id", "text", dim=dim).collect()}
+    joined = {r["doc_id"]: r.asDict() for r in
+              quality_classifier_score(docs, "doc_id", "text", dim=dim, weights=feats).collect()}
+    assert set(default) == set(joined)
+    for k in default:
+        d, j = default[k], joined[k]
+        assert d["n_tokens"] == j["n_tokens"], k
+        if d["logit"] is None:
+            assert j["logit"] is None
+        else:
+            # default path sums exact integers; join path float-averages, so
+            # the 6th rounded digit can differ by one step at a rounding
+            # boundary (this is WHY the oracle-checked default path stays in
+            # integer space) — allow exactly that one step
+            assert abs(d["logit"] - j["logit"]) <= 1.01e-6, (k, d["logit"], j["logit"])
