@@ -27,45 +27,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Gate rotation: the driver's correctness harness samples the FIRST 50
-# entries of queries(). Round-6 priority order (VERDICT_r5 "Next round" #1):
-# 1. The NINE never-driver-gated queries — the five late-r5 additions
-#    (char_entropy_quality, incremental_batch_dedup, similarity_pq_topk,
-#    similarity_ivfadc_topk, template_block_strip) plus the four that missed
-#    every rotation (lsh_bucket_stats, frequent_ngrams, lm_corpus_blocks,
-#    agentic_routed_fanout).
-# 2. The TWO new r6 streaming-equivalence queries (streaming_tumbling_equiv,
-#    streaming_band_admission) — first oracle rows for the streaming layer.
-# 3. word_block_dedup (its survivor election changed this round: packed-long
-#    key -> min(struct) — re-earn the gate record on the new code) and
-#    q6_forecast_revenue (last gated r1, the longest-standing record).
-# 4. Backfill: 37 of the r4-gated cohort (longest unguarded). Left for
-#    ORACLE_FULL coverage this round: family-redundant rows whose siblings
-#    were gated r5 (q1/q3/q5 of the 15-query TPC-H family; agg_rollup/
-#    agg_distinct/agg_cube next to grouping_sets/salted/pivot/unpivot;
-#    tumbling/session/sliding batch windows next to window_moving_avg and
-#    the new streaming twins) plus cache_keys (inside cached_completions).
+# entries of queries(). Round-7 priority order (VERDICT_r6 "Next round" #2:
+# rotate onto the stalest records; every registry query has been gated at
+# least once, so priority = never-gated new rows, then oldest gate record):
+# 1. The SIX new r7 queries: the trained-mode (KMeans) recall contracts
+#    (ivfadc_trained_recall, pq_trained_recall, semantic_dedup_trained —
+#    VERDICT item 1) and the three new streaming twins
+#    (streaming_sliding_equiv, streaming_session_equiv,
+#    streaming_late_drop_equiv — VERDICT item 4).
+# 2. The FIFTEEN queries whose newest gate record is r4 — the full
+#    r4-or-older set, verified against the r1-r6 CORRECTNESS union.
+# 3. Backfill: 29 of the 49 r5-gated queries (LLM family, similarity
+#    family, TPC-H mid-family, pivot/percentile). The 20 r5-gated rows left
+#    out (grouping_sets_revenue, window_moving_avg, q10/q15/q17,
+#    date_arithmetic, variant_json_extract, join_full_outer,
+#    unpivot_metrics, the textstats cohort) are exactly two rounds old
+#    after r7 and lead the r8 rotation.
 _GATE_FIRST = (
-    "char_entropy_quality", "incremental_batch_dedup", "similarity_pq_topk",
-    "similarity_ivfadc_topk", "template_block_strip", "lsh_bucket_stats",
-    "frequent_ngrams", "lm_corpus_blocks", "agentic_routed_fanout",
-    "streaming_tumbling_equiv", "streaming_band_admission",
-    "word_block_dedup", "q6_forecast_revenue",
-    "join_dims_broadcast", "join_semi_anti", "window_rank_orders",
-    "window_lag_running", "set_operations", "scope_projection",
-    "low_length_filter", "group_counts", "distribution_fractions",
-    "exact_dedup_first", "dedup_multi_key", "batch_assignment",
-    "capped_group_sample", "seeded_shuffle_head", "grouped_split",
-    "minhash_signatures", "minhash_lsh_dedup", "simhash_exact_dedup",
-    "simhash_fingerprints", "ngram_jaccard_pairs", "jaccard_pairs_lsh",
-    "near_dup_components", "embedding_near_dup", "similarity_brute_topk",
-    "token_quality_stats", "language_quality", "cluster_best_survivor",
-    "weighted_corpus_sample", "sequence_packing", "greedy_packing",
-    "corpus_prep_pipeline", "doc_fingerprints", "chatml_flatten",
-    "asof_join_purchases",
-    # r6-new operators displace the last three r4-recorded backfill slots
-    # (range_join_events, judge_metrics, cost_estimate — all r4-gated +
-    # ORACLE_FULL green): new code earns the driver record first.
-    "quality_classifier", "perplexity_buckets", "semantic_dedup",
+    # -- new this round ----------------------------------------------------
+    "ivfadc_trained_recall", "pq_trained_recall", "semantic_dedup_trained",
+    "streaming_sliding_equiv", "streaming_session_equiv",
+    "streaming_late_drop_equiv",
+    # -- stalest: last gated r4 --------------------------------------------
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "agg_rollup", "agg_distinct", "agg_cube", "cross_corpus_near_dups",
+    "cache_keys", "range_join_events", "tumbling_window_agg",
+    "judge_metrics", "cost_estimate", "instructions_mapreduce",
+    "session_windows", "sliding_windows",
+    # -- r5-gated backfill -------------------------------------------------
+    "bpe_token_counts", "lm_block_manifest", "approx_distinct",
+    "self_verification", "constrained_json_parse", "tag_extraction",
+    "media_features", "chatml_family_adjust", "cached_completions",
+    "judge_fanout_ensemble", "grpo_reward_advantage", "hash_split_counts",
+    "similarity_multitable_topk", "similarity_lsh_multiprobe",
+    "similarity_lsh_topk", "agentic_fanout", "similarity_ivf_topk",
+    "q14_promo_ratio", "q18_large_orders", "salted_aggregate",
+    "q4_priority_exists", "q13_customer_distribution",
+    "q19_disjunctive_revenue", "q22_dormant_customers", "simhash_near_dedup",
+    "q7_nation_trade", "q8_market_share", "pivot_event_matrix",
+    "percentile_order_value",
 )
 
 

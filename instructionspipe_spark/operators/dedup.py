@@ -600,10 +600,14 @@ def _validated_band_store(
     result carries only the join/identity columns either way."""
     if "__num_perm" not in store.columns:
         return store
+    # eqNullSafe, not ==: a NULL stamp under plain equality makes stamp_ok
+    # NULL, ~NULL is NULL, and when() falls through to otherwise — the
+    # corrupt row would pass validation silently, the exact failure mode
+    # this check exists to kill. Null-safe equality makes NULL != literal.
     stamp_ok = (
-        (F.col("__num_perm") == F.lit(num_perm))
-        & (F.col("__bands") == F.lit(bands))
-        & (F.col("__ngram") == F.lit(ngram))
+        F.col("__num_perm").eqNullSafe(F.lit(num_perm))
+        & F.col("__bands").eqNullSafe(F.lit(bands))
+        & F.col("__ngram").eqNullSafe(F.lit(ngram))
     )
     msg = (
         "minhash band store parameter mismatch: store was signed with "
@@ -1281,10 +1285,19 @@ def semantic_dedup(
             k=n_cells, seed=seed, maxIter=max_iter,
             featuresCol="__mlvec", predictionCol="__cell",
         ).fit(v_ml)
+        # L2-normalize the centroids before the dot-product argmax so the
+        # assignment is spherical-kmeans (cosine argmax), not a
+        # norm-weighted proxy of the fitted model's Euclidean predict —
+        # over L2-normalized inputs, argmax cos(v, c/|c|) == argmin
+        # ||v - c|| up to the centroid-norm term, and normalizing removes
+        # that term exactly (ADVICE r6).
         cent = df.sparkSession.createDataFrame(
             [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
             ["__cell", "__cent"],
-        ).select("__cell", F.col("__cent").cast("array<double>").alias("__cent"))
+        ).select(
+            "__cell",
+            l2_normalize(F.col("__cent").cast("array<double>")).alias("__cent"),
+        )
     else:
         cent = (
             v.orderBy("__id")

@@ -459,10 +459,15 @@ def frequent_word_ngrams(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct("__doc").alias("n_docs"),
     )
+    # orderBy().limit() compiles to TakeOrderedAndProject — guaranteed
+    # map-side top-k regardless of optimizer version, where the previous
+    # unpartitioned row_number() rank depended on Spark 3.5's
+    # WindowGroupLimit to avoid a single-partition global sort (VERDICT r6
+    # watch item). The re-rank window then runs over <= top_k rows.
+    topk = counts.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(top_k)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("ngram", "n_occurrences", "n_docs", "rank")
     )
 

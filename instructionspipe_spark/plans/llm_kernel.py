@@ -58,7 +58,14 @@ class LlmClient:
             prompt = F.col(prompt_col)
             if system is not None:
                 prompt = F.concat(F.lit(system), F.lit("\n\n"), prompt)
-            return df.withColumn(out_col, self.completion_column(prompt))
+            # P6 null-completion contract enforced CENTRALLY: a null prompt
+            # (empty-instruction predicate upstream) yields a null
+            # completion even if the client's expression has a non-null
+            # default branch (e.g. a when/otherwise judge label).
+            return df.withColumn(
+                out_col,
+                F.when(F.col(prompt_col).isNotNull(), self.completion_column(prompt)),
+            )
         raise NotImplementedError
 
 

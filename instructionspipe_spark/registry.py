@@ -2131,7 +2131,7 @@ def streaming_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-source micro-batching, event-time windows, state store, sink."""
     import os
 
-    from instructionspipe_spark.streaming.jobs import run_stream_to_table
+    from instructionspipe_spark.streaming.jobs import run_stream_to_df
 
     _t(spark, sf_dir, "events")  # sets the nanos conf; catalog parity
     path = os.path.join(sf_dir, "events.parquet")
@@ -2170,7 +2170,7 @@ def streaming_tumbling_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return spark.table(run_stream_to_table(agg, "complete"))
+    return run_stream_to_df(agg, "complete")
 
 
 def _streaming_band_admission_oracle(
@@ -2222,7 +2222,7 @@ def streaming_band_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from instructionspipe_spark.operators.dedup import minhash_band_store
     from instructionspipe_spark.streaming.jobs import (
-        run_stream_to_table,
+        run_stream_to_df,
         streaming_band_matches,
     )
 
@@ -2239,8 +2239,7 @@ def streaming_band_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     matches = streaming_band_matches(stream, corpus, store, "doc_id", "text")
-    name = run_stream_to_table(matches, "append")
-    return spark.table(name).distinct()
+    return run_stream_to_df(matches, "append").distinct()
 
 
 @query(
@@ -4754,3 +4753,463 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         embeddings, "vec_id", "embedding",
         n_cells=_SEMDEDUP_CELLS, threshold=_SEMDEDUP_THRESHOLD,
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-mode (KMeans) recall contracts — VERDICT r6 item 1. The production
+# configurations of the ANN/dedup family (pq_topk / ivfadc_topk trained=True,
+# semantic_dedup trained=True) run an iterative pyspark.ml fit DuckDB cannot
+# reproduce, so the gated contract follows the approx_distinct pattern: both
+# engines compute the EXACT baseline (brute-force top-k / all-pairs dup set
+# — real arithmetic parity work), and next to it a bounded-quality BOOLEAN.
+# The oracle asserts the bound as literal truth; the Spark side emits the
+# MEASURED compliance of the trained path. Hash equality therefore holds iff
+# the trained configuration actually meets its recall floor — a hard driver
+# signal for the exact code path a production 100 TB job runs. Everything is
+# deterministic (fixed KMeans seed, fixed data), so the floors are exact
+# re-measurable quantities, not statistical hopes.
+# ---------------------------------------------------------------------------
+
+# Per-query hit floor for the trained ANN paths at the production params
+# (n_codes=32, rerank=200 — the r6-measured configuration): recall@5
+# measured this round is mean 0.971 / min 0.80 at sf0.01 (both variants,
+# matching the r6 record exactly) and mean 0.914-0.957 / min 0.60 at
+# sf0.001 (500-vector corpus, fixed 8 coarse cells). The per-query floor
+# sits at the cross-SF minimum 0.6 — deterministic (fixed KMeans seed,
+# fixed data), so only a parameter or algorithm regression can trip it
+# (the same queries at a degraded n_codes=8/rerank=50 config measure
+# min 0.20 — the tripwire is wide).
+_TRAINED_ANN_FLOOR = 0.6
+# semantic_dedup trained=True vs the exhaustive all-pairs dup set (measured
+# at both SFs; cell-boundary losses are the documented SemDeDup trade).
+_SEMDEDUP_TRAINED_FLOOR = 0.6
+
+
+def _trained_ann_oracle(k: int = 5) -> str:
+    """Exact brute-force top-k per query (cosines rounded to 6 for ordering
+    parity, summed and rounded to 4) + the literal recall contract."""
+    dot = "CAST(list_sum(list_transform(range(1, len(a.__nv) + 1), i -> q.__nv[i] * a.__nv[i])) AS DOUBLE)"
+    return f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, __nv FROM v WHERE vec_id % 37 = 0),
+    scored AS (
+        SELECT q.query_id, a.vec_id, ROUND({dot}, 6) AS cos6 FROM v a, q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos6,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos6 DESC, vec_id ASC) AS rank
+        FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= {k})
+    SELECT query_id,
+           COUNT(*) AS n_truth,
+           CAST(ROUND(SUM(cos6), 4) AS DOUBLE) AS truth_cos_sum,
+           TRUE AS recall_ok
+    FROM topk GROUP BY query_id
+    """
+
+
+def _trained_ann_contract(
+    spark: SparkSession, sf_dir: str, build_topk, k: int = 5
+) -> DataFrame:
+    """Shared harness: exact truth via brute_force_topk (rank_round=6 =
+    the oracle's cos6 ordering), trained candidate set from ``build_topk``,
+    per-query hit count vs ``ceil(floor * n_truth)``."""
+    from instructionspipe_spark.operators.similarity import brute_force_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = brute_force_topk(embeddings, queries_df, k=k, rank_round=6)
+    got = build_topk(embeddings, queries_df)
+    per_q = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.round(F.sum(F.round(F.col("cosine"), 6)), 4).alias("truth_cos_sum"),
+    )
+    hits = (
+        truth.select("query_id", "vec_id")
+        .join(got.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__nh"))
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            "truth_cos_sum",
+            (
+                F.coalesce(F.col("__nh"), F.lit(0))
+                >= F.ceil(F.lit(_TRAINED_ANN_FLOOR) * F.col("n_truth"))
+            ).alias("recall_ok"),
+        )
+    )
+
+
+@query("ivfadc_trained_recall", oracle=_trained_ann_oracle())
+def ivfadc_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVFADC configuration (operators/similarity.py
+    ivfadc_topk trained=True: KMeans coarse cells + KMeans codebooks,
+    n_assign=2 multiple assignment, n_probe=4, n_codes=32, exact rerank of
+    200) gated as a bounded recall contract vs the exact brute-force
+    baseline both engines compute. recall_ok = per-query hits >=
+    ceil(0.6 * k); measured r7: mean 0.971 / min 0.80 at sf0.01."""
+    from instructionspipe_spark.operators.similarity import ivfadc_topk
+
+    return _trained_ann_contract(
+        spark, sf_dir,
+        lambda emb, q: ivfadc_topk(
+            emb, q, k=5, n_cells=8, n_probe=4, n_codes=32, rerank=200,
+            trained=True, n_assign=2,
+        ),
+    )
+
+
+@query("pq_trained_recall", oracle=_trained_ann_oracle())
+def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ configuration (operators/similarity.py pq_topk:
+    per-subspace KMeans codebooks n_codes=32, ADC shortlist of 200, exact
+    rerank) gated as a bounded recall contract vs exact brute force — same
+    contract shape as ivfadc_trained_recall; measured r7: mean 0.971 /
+    min 0.80 at sf0.01."""
+    from instructionspipe_spark.operators.similarity import pq_topk
+
+    return _trained_ann_contract(
+        spark, sf_dir,
+        lambda emb, q: pq_topk(emb, q, k=5, m=4, n_codes=32, rerank=200),
+    )
+
+
+@query(
+    "semantic_dedup_trained",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    pairs AS (
+        SELECT b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND({_DOT_SQL}, 6) >= {_SEMDEDUP_THRESHOLD!r}
+    ),
+    dup AS (SELECT DISTINCT id_b FROM pairs)
+    SELECT (SELECT COUNT(*) FROM v) AS n_vectors,
+           (SELECT COUNT(*) FROM dup) AS n_full,
+           TRUE AS recall_ok
+    """,
+)
+def semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production SemDeDup configuration (operators/dedup.py
+    semantic_dedup trained=True: KMeans cells, spherical assignment) gated
+    as a bounded recall contract: both engines compute the EXHAUSTIVE
+    all-pairs dup set (every vector with a smaller-id cosine>=threshold
+    neighbor — the zero-loss baseline SemDeDup's cells approximate), and
+    the Spark side asserts the trained mode cuts at least
+    ceil(0.6 * n_full) of it. Cell-boundary misses are the documented
+    SemDeDup trade; a parameter/algorithm regression (wrong assignment,
+    broken pairing) collapses the cut count and trips the bound."""
+    from instructionspipe_spark.operators.dedup import embedding_near_dup
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    sd = ops.semantic_dedup(
+        embeddings, "vec_id", "embedding",
+        n_cells=_SEMDEDUP_CELLS, threshold=_SEMDEDUP_THRESHOLD, trained=True,
+    )
+    n_cut = sd.agg(
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("__n_cut"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    # The operator pre-filters on the UNROUNDED cosine; loosen it by one
+    # rounding quantum and decide membership on round(cos, 6) like the
+    # oracle, so a 0.7999996-boundary pair cannot split the engines.
+    full = (
+        embedding_near_dup(
+            embeddings, "vec_id", "embedding", threshold=_SEMDEDUP_THRESHOLD - 1e-4
+        )
+        .filter(F.round(F.col("cosine"), 6) >= F.lit(_SEMDEDUP_THRESHOLD))
+        .select("id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_full"))
+    )
+    return n_cut.crossJoin(F.broadcast(full)).select(
+        "n_vectors",
+        "n_full",
+        (
+            F.col("__n_cut")
+            >= F.ceil(F.lit(_SEMDEDUP_TRAINED_FLOOR) * F.col("n_full"))
+        ).alias("recall_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-equals-batch twins, round 7 (VERDICT r6 item 4): extend the r6
+# twin pattern (streaming_tumbling_equiv / streaming_band_admission) to
+# sliding windows, session windows, and watermark late-data drops — the
+# streaming/jobs.py paths that were pytest-only. Each runs a REAL stream
+# (file source, availableNow drain, memory sink via run_stream_to_df) whose
+# result must hash-match a pure batch SQL oracle. The session and late-drop
+# twins exercise APPEND-mode emission: the file source is split into
+# mtime-ordered files read one per micro-batch (maxFilesPerTrigger=1), so
+# the watermark computed from batch 1 governs batch 2's late-row drops and
+# window emissions — deterministic, and mirrored exactly by the oracle's
+# "closed by max(ts) - delay" predicate.
+# ---------------------------------------------------------------------------
+
+
+def _stream_twin_inputs(sf_dir: str, name: str, sqls: list) -> str:
+    """Materialize a twin's file-sequenced inputs once per sf_dir: each
+    (fname, duckdb SELECT) pair becomes one parquet file with an explicitly
+    increasing mtime, so Spark's file source (oldest-first ordering) replays
+    them as separate micro-batches in list order. Idempotent via a _DONE
+    marker; bump the ``name`` version tag when the generator changes."""
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    scratch = os.path.join(root, ".stream_scratch", sf_name, name)
+    done = os.path.join(scratch, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(scratch, exist_ok=True)
+        con = duckdb.connect()
+        for i, (fname, sql) in enumerate(sqls):
+            path = os.path.join(scratch, fname)
+            con.sql(f"COPY ({sql}) TO '{path}' (FORMAT PARQUET)")
+            os.utime(path, (1_700_000_000 + i * 100,) * 2)
+        con.close()
+        with open(done, "w") as f:
+            f.write("ok")
+    return scratch
+
+
+def _events_stream(spark: SparkSession, path: str, max_files: int | None = None):
+    """File-source stream over ``path`` with the ts column cast to LTZ under
+    a UTC session (the NTZ->LTZ->window->NTZ round-trip of the r6 tumbling
+    twin, registry.py streaming_tumbling_equiv)."""
+    raw_schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(path).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", "*.parquet")
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    stream = reader.parquet(path)
+    if raw_schema["ts"].dataType.simpleString() == "bigint":  # legacy nanosAsLong
+        ts_ltz = F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ltz")
+    else:
+        ts_ltz = F.col("ts").cast("timestamp_ltz")
+    return stream.withColumn("ts", ts_ltz)
+
+
+@query(
+    "streaming_sliding_equiv",
+    oracle="""
+    WITH wins AS (
+        SELECT date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END
+               - t.k * INTERVAL 30 MINUTE AS window_start,
+               event_type, value
+        FROM events, UNNEST([0, 1]) AS t(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
+    FROM wins GROUP BY 1, 2, 3
+    """,
+)
+def streaming_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch for SLIDING windows (streaming/jobs.py
+    sliding_window_agg semantics): events streamed through a watermarked
+    1-hour window sliding every 30 minutes (complete mode — every window
+    lands in the sink) must hash-match the batch oracle that assigns each
+    event to its two slide-grid windows explicitly. Exercises overlapping
+    window-state fan-out in the real streaming runtime."""
+    _t(spark, sf_dir, "events")  # nanos conf + catalog parity
+    from instructionspipe_spark.streaming.jobs import run_stream_to_df
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if raw_schema["ts"].dataType.simpleString() == "bigint":
+        ts_ltz = F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ltz")
+    else:
+        ts_ltz = F.col("ts").cast("timestamp_ltz")
+    agg = (
+        stream.withColumn("ts", ts_ltz)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_df(agg, "complete")
+
+
+_SESSION_TWIN_GAP = "17 minutes"
+_SESSION_TWIN_DELAY = "61 minutes"
+
+
+@query(
+    "streaming_session_equiv",
+    oracle="""
+    WITH e AS (SELECT user_id % 50 AS skey, ts FROM events),
+    mx AS (SELECT MAX(ts) AS m FROM events),
+    lagged AS (
+        SELECT skey, ts, LAG(ts) OVER (PARTITION BY skey ORDER BY ts) AS prev
+        FROM e
+    ),
+    flagged AS (
+        SELECT skey, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL 17 MINUTE
+                    THEN 1 ELSE 0 END AS newgrp
+        FROM lagged
+    ),
+    grp AS (
+        SELECT skey, ts,
+               SUM(newgrp) OVER (PARTITION BY skey ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ),
+    sess AS (
+        SELECT skey, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 17 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM grp GROUP BY skey, g
+    )
+    SELECT skey, session_start, session_end, n_events
+    FROM sess, mx
+    WHERE session_end <= mx.m - INTERVAL 61 MINUTE
+    """,
+)
+def streaming_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch for SESSION windows in APPEND mode: events
+    keyed by user_id%50 streamed through session_window(gap=17min,
+    watermark=61min). The input is two mtime-ordered files read one per
+    micro-batch: the data file, then a single same-max-ts sentinel row
+    (key -1) whose only job is forcing a second batch so the emission check
+    runs with the batch-1 watermark (max ts - 61min) active — the sentinel
+    itself never raises the watermark, keeping the emitted set independent
+    of whether a trailing no-data batch runs. Oracle: gaps-and-islands
+    sessionization + the same 'closed by max(ts) - delay' predicate.
+    State shape at 100 TB: 50 keys here, bounded per-key session state
+    evicted by the watermark — the session-window state-store path, not a
+    driver collect."""
+    _t(spark, sf_dir, "events")
+    from instructionspipe_spark.streaming.jobs import run_stream_to_df, session_window_agg
+
+    src = os.path.join(sf_dir, "events.parquet").replace("'", "''")
+    scratch = _stream_twin_inputs(
+        sf_dir,
+        "session_v1",
+        [
+            ("a.parquet", f"SELECT user_id % 50 AS skey, ts FROM '{src}' ORDER BY ts"),
+            (
+                "b.parquet",
+                f"SELECT CAST(-1 AS BIGINT) AS skey, MAX(ts) AS ts FROM '{src}'",
+            ),
+        ],
+    )
+    stream = _events_stream(spark, scratch, max_files=1)
+    agg = session_window_agg(
+        stream, "ts", gap=_SESSION_TWIN_GAP, key="skey", watermark=_SESSION_TWIN_DELAY
+    )
+    out = run_stream_to_df(agg, "append")
+    return out.filter(F.col("skey") >= 0).select(
+        "skey",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "streaming_late_drop_equiv",
+    oracle="""
+    WITH a AS (
+        SELECT ts, event_type, value FROM events WHERE event_id % 7 != 3
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM a)
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
+    FROM a, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_late_drop_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP equivalence in APPEND mode: the on-time
+    cohort (event_id%7 != 3) arrives in micro-batch 1 and advances the
+    watermark to max(ts) - 1h; micro-batch 2 then delivers the held-out
+    cohort shifted 400 days into the past — every row older than the
+    watermark, so the streaming runtime must DROP all of them before
+    aggregation. The emitted result is therefore the on-time cohort's
+    tumbling windows closed by the batch-1 watermark; if the drop path
+    broke, the 2022-era windows (which satisfy the emission predicate)
+    would appear and the hash would diverge from the batch oracle, which
+    reads the on-time cohort only.
+
+    Three files, not two — measured Spark semantics (probed in-session,
+    round 7): a watermark jump becomes active for EMISSION in the batch
+    where it jumps, but input-row late-filtering only applies to rows
+    arriving a batch AFTER the jump. So the late cohort must arrive in
+    batch 3, behind a same-max-ts sentinel (batch 2) that burns the
+    activation batch without moving the watermark; the sentinel's own
+    window ends after the watermark and never emits."""
+    _t(spark, sf_dir, "events")
+    from instructionspipe_spark.streaming.jobs import run_stream_to_df
+
+    src = os.path.join(sf_dir, "events.parquet").replace("'", "''")
+    scratch = _stream_twin_inputs(
+        sf_dir,
+        "late_v2",
+        [
+            (
+                "a.parquet",
+                f"SELECT ts, event_type, value FROM '{src}' WHERE event_id % 7 != 3 ORDER BY ts",
+            ),
+            (
+                "b.parquet",
+                f"SELECT MAX(ts) AS ts, '__sentinel' AS event_type, 0.0 AS value "
+                f"FROM '{src}' WHERE event_id % 7 != 3",
+            ),
+            (
+                "c.parquet",
+                f"SELECT ts - INTERVAL 400 DAY AS ts, event_type, value FROM '{src}' WHERE event_id % 7 = 3 ORDER BY ts",
+            ),
+        ],
+    )
+    stream = _events_stream(spark, scratch, max_files=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_df(agg, "append")

@@ -88,6 +88,24 @@ def run_stream_to_table(df: DataFrame, output_mode: str) -> str:
     return name
 
 
+def run_stream_to_df(df: DataFrame, output_mode: str) -> DataFrame:
+    """:func:`run_stream_to_table`, leak-free: drain the stream into the
+    memory sink, snapshot the sink table into a driver-local relation, DROP
+    the temp view, and return the snapshot. Without the drop, every build of
+    a streaming query in a long-lived session (the correctness harness
+    re-builds plans repeatedly) leaves a fully-materialized
+    ``__stream_result_N`` table pinned in driver memory forever (ADVICE r6).
+    Memory-sink results already live wholly in the driver, so the
+    collect-then-createDataFrame snapshot copies what is resident anyway —
+    bounded by the sink, not the corpus."""
+    spark = df.sparkSession
+    name = run_stream_to_table(df, output_mode)
+    sink = spark.table(name)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def sliding_window_agg(
     df: DataFrame, ts_col: str, window: str, slide: str, aggs: dict[str, str], watermark: str = "1 hour"
 ) -> DataFrame:

@@ -131,6 +131,23 @@ def test_no_raw_fact_table_broadcasts(spark):
     assert not flags, f"raw fact table broadcast in: {flags}"
 
 
+def test_topk_diagnostics_never_global_sort(spark):
+    """VERDICT r6 watch item: the corpus-wide top-k diagnostics must never
+    depend on an optimizer rewrite to avoid a single-partition sort of the
+    full aggregated frame. frequent_ngrams now compiles its top-k to
+    TakeOrderedAndProject by construction (orderBy().limit() before the
+    k-row re-rank); lsh_bucket_stats' per-band rank must keep firing
+    WindowGroupLimit (map-side partial top-k per band). If either assertion
+    breaks on a Spark upgrade, the query regressed to a global sort."""
+    p_ng = _plan(spark, "frequent_ngrams")
+    assert "TakeOrderedAndProject" in p_ng, "frequent_ngrams top-k must be TakeOrdered"
+    p_lsh = _plan(spark, "lsh_bucket_stats")
+    assert "WindowGroupLimit" in p_lsh, (
+        "lsh_bucket_stats rank<=k stopped firing WindowGroupLimit — its "
+        "per-band window now sorts whole bands on single tasks"
+    )
+
+
 def test_broadcast_if_small_is_stats_gated(spark, tables):
     from instructionspipe_spark.session import broadcast_if_small
 
