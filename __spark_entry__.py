@@ -30,24 +30,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of queries(). Round-7 priority order (VERDICT_r6 "Next round" #2:
 # rotate onto the stalest records; every registry query has been gated at
 # least once, so priority = never-gated new rows, then oldest gate record):
-# 1. The SIX new r7 queries: the trained-mode (KMeans) recall contracts
+# 1. The SEVEN new r7 queries: the trained-mode (KMeans) recall contracts
 #    (ivfadc_trained_recall, pq_trained_recall, semantic_dedup_trained —
 #    VERDICT item 1) and the three new streaming twins
 #    (streaming_sliding_equiv, streaming_session_equiv,
-#    streaming_late_drop_equiv — VERDICT item 4).
+#    streaming_late_drop_equiv — VERDICT item 4) plus the stateful
+#    cross-batch dedup twin (streaming_dedup_equiv).
 # 2. The FIFTEEN queries whose newest gate record is r4 — the full
 #    r4-or-older set, verified against the r1-r6 CORRECTNESS union.
-# 3. Backfill: 29 of the 49 r5-gated queries (LLM family, similarity
-#    family, TPC-H mid-family, pivot/percentile). The 20 r5-gated rows left
-#    out (grouping_sets_revenue, window_moving_avg, q10/q15/q17,
-#    date_arithmetic, variant_json_extract, join_full_outer,
+# 3. Backfill: 28 of the 49 r5-gated queries (LLM family, similarity
+#    family, TPC-H mid-family, pivot). The 21 r5-gated rows left out
+#    (grouping_sets_revenue, percentile_order_value, window_moving_avg,
+#    q10/q15/q17, date_arithmetic, variant_json_extract, join_full_outer,
 #    unpivot_metrics, the textstats cohort) are exactly two rounds old
 #    after r7 and lead the r8 rotation.
 _GATE_FIRST = (
     # -- new this round ----------------------------------------------------
     "ivfadc_trained_recall", "pq_trained_recall", "semantic_dedup_trained",
     "streaming_sliding_equiv", "streaming_session_equiv",
-    "streaming_late_drop_equiv",
+    "streaming_late_drop_equiv", "streaming_dedup_equiv",
     # -- stalest: last gated r4 --------------------------------------------
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "agg_rollup", "agg_distinct", "agg_cube", "cross_corpus_near_dups",
@@ -65,7 +66,6 @@ _GATE_FIRST = (
     "q4_priority_exists", "q13_customer_distribution",
     "q19_disjunctive_revenue", "q22_dormant_customers", "simhash_near_dedup",
     "q7_nation_trade", "q8_market_share", "pivot_event_matrix",
-    "percentile_order_value",
 )
 
 

@@ -5213,3 +5213,39 @@ def streaming_late_drop_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_df(agg, "append")
+
+
+@query(
+    "streaming_dedup_equiv",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events WHERE event_id % 5 != 2
+    """,
+)
+def streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming DEDUP equivalence (streaming/jobs.py
+    streaming_dedup -> dropDuplicatesWithinWatermark, G4 at scale): the
+    cohort file is replayed TWICE as two mtime-ordered micro-batches, so
+    every batch-2 row collides with dedup STATE built in batch 1 — the
+    cross-batch state-store path, not an in-batch distinct. The watermark
+    (35 days > the 30-day event span) keeps all state alive through the
+    replay; emitted result must equal exactly one copy of the cohort, which
+    is what the batch oracle selects. A broken state store (lost keys,
+    premature eviction) emits duplicates and diverges the hash."""
+    _t(spark, sf_dir, "events")
+    from instructionspipe_spark.streaming.jobs import run_stream_to_df, streaming_dedup
+
+    src = os.path.join(sf_dir, "events.parquet").replace("'", "''")
+    cohort = (
+        f"SELECT event_id, ts, event_type, value FROM '{src}' "
+        f"WHERE event_id % 5 != 2 ORDER BY event_id"
+    )
+    scratch = _stream_twin_inputs(
+        sf_dir, "dedup_v1", [("a.parquet", cohort), ("b.parquet", cohort)]
+    )
+    stream = _events_stream(spark, scratch, max_files=1)
+    deduped = streaming_dedup(stream, ["event_id"], "ts", watermark="35 days")
+    out = run_stream_to_df(deduped, "append")
+    return out.select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value"
+    )

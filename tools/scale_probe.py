@@ -9,7 +9,12 @@ a quadratic join/window sneaked in. Local caveats printed with the table:
 constant JVM/scheduling overhead dominates small sfs, so exponents are only
 meaningful from the largest step.
 
-Usage: python tools/scale_probe.py [sf_dir ...]   (default: sf0.001 sf0.01 sf0.1)
+Usage: python tools/scale_probe.py [--queries a,b,c] [sf_dir ...]
+       (default sf dirs: sf0.001 sf0.01 sf0.1; default queries: all bench)
+`--queries` limits the probe to named registry queries — used with the
+generated second decade (tools/gen_scale_decade.py -> .scale/sf1, which
+carries only documents/embeddings) to probe the slowest families at
+sf0.1 -> sf1 without needing the full star schema at sf1.
 Output: markdown table on stdout.
 """
 
@@ -27,7 +32,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from instructionspipe_spark import get_spark, load_tables
 
-    sf_dirs = sys.argv[1:] or [
+    args = sys.argv[1:]
+    only: list[str] | None = None
+    if "--queries" in args:
+        i = args.index("--queries")
+        only = args[i + 1].split(",")
+        del args[i : i + 2]
+    sf_dirs = args or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
@@ -37,13 +48,23 @@ def main() -> int:
     queries = entrymod.queries()
 
     # Warm everything once (JIT, codegen, parquet footers) so per-sf numbers
-    # measure the plan, not the first-run warmup.
-    load_tables(spark, sf_dirs[0])["lineitem"].count()
+    # measure the plan, not the first-run warmup. Partial dirs (the
+    # generated sf1 decade has only documents/embeddings) warm what exists.
+    def warm(sf_dir: str) -> None:
+        for t in ("lineitem", "documents"):
+            try:
+                load_tables(spark, sf_dir, [t])[t].count()
+                return
+            except Exception:
+                continue
 
+    warm(sf_dirs[0])
+
+    probe_names = only if only is not None else list(bench.BENCH_QUERIES)
     times: dict[str, list[float]] = {}
     for sf_dir in sf_dirs:
-        load_tables(spark, sf_dir)["lineitem"].count()
-        for name in bench.BENCH_QUERIES:
+        warm(sf_dir)
+        for name in probe_names:
             fn = queries.get(name)
             if fn is None:
                 continue
