@@ -30,17 +30,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of queries(). Round-7 priority order (VERDICT_r6 "Next round" #2:
 # rotate onto the stalest records; every registry query has been gated at
 # least once, so priority = never-gated new rows, then oldest gate record):
-# 1. The SEVEN new r7 queries: the trained-mode (KMeans) recall contracts
+# 1. The EIGHT new r7 queries: the trained-mode (KMeans) recall contracts
 #    (ivfadc_trained_recall, pq_trained_recall, semantic_dedup_trained —
 #    VERDICT item 1) and the three new streaming twins
 #    (streaming_sliding_equiv, streaming_session_equiv,
 #    streaming_late_drop_equiv — VERDICT item 4) plus the stateful
-#    cross-batch dedup twin (streaming_dedup_equiv).
+#    cross-batch dedup twin (streaming_dedup_equiv) and the foreachBatch
+#    LLM-cache twin (streaming_llm_cache_equiv — the row that caught the
+#    ReuseExchange cache bug).
 # 2. The FIFTEEN queries whose newest gate record is r4 — the full
 #    r4-or-older set, verified against the r1-r6 CORRECTNESS union.
-# 3. Backfill: 28 of the 49 r5-gated queries (LLM family, similarity
-#    family, TPC-H mid-family, pivot). The 21 r5-gated rows left out
-#    (grouping_sets_revenue, percentile_order_value, window_moving_avg,
+# 3. Backfill: 27 of the 49 r5-gated queries (LLM family, similarity
+#    family, TPC-H mid-family). The 22 r5-gated rows left out
+#    (grouping_sets_revenue, percentile_order_value, pivot_event_matrix,
+#    window_moving_avg,
 #    q10/q15/q17, date_arithmetic, variant_json_extract, join_full_outer,
 #    unpivot_metrics, the textstats cohort) are exactly two rounds old
 #    after r7 and lead the r8 rotation.
@@ -49,6 +52,7 @@ _GATE_FIRST = (
     "ivfadc_trained_recall", "pq_trained_recall", "semantic_dedup_trained",
     "streaming_sliding_equiv", "streaming_session_equiv",
     "streaming_late_drop_equiv", "streaming_dedup_equiv",
+    "streaming_llm_cache_equiv",
     # -- stalest: last gated r4 --------------------------------------------
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "agg_rollup", "agg_distinct", "agg_cube", "cross_corpus_near_dups",
@@ -65,7 +69,7 @@ _GATE_FIRST = (
     "q14_promo_ratio", "q18_large_orders", "salted_aggregate",
     "q4_priority_exists", "q13_customer_distribution",
     "q19_disjunctive_revenue", "q22_dormant_customers", "simhash_near_dedup",
-    "q7_nation_trade", "q8_market_share", "pivot_event_matrix",
+    "q7_nation_trade", "q8_market_share",
 )
 
 

@@ -32,12 +32,32 @@ CACHE_SCHEMA = T.StructType(
 
 
 def _read_cache(spark: SparkSession, cache_path: str) -> DataFrame:
+    """Read the cache table with the file listing PINNED into the scan.
+
+    Reading the directory path would be wrong here, subtly: a
+    multi-instruction pipeline embeds several append-then-read cycles
+    against the same directory in ONE final plan, and Spark's ReuseExchange
+    canonicalizes two directory scans of the same root path as equal even
+    though they were listed at different times with different files — the
+    later instruction's broadcast silently becomes the earlier, smaller
+    listing, every later join probes the wrong key set, and completions go
+    NULL (nondeterministically: whichever exchange builds first wins).
+    Caught by the streaming_llm_cache_equiv oracle, round 7. Enumerating
+    the part files makes each read's identity its actual listing, so only
+    genuinely identical listings reuse."""
     if os.path.exists(cache_path):
-        df = spark.read.schema(CACHE_SCHEMA).parquet(cache_path)
-        # Append-only table: concurrent writers may duplicate keys; the read
-        # side resolves deterministically (completions for a key are
-        # identical by construction, min is a tie-break not a choice).
-        return df.groupBy("cache_key").agg(F.min("completion").alias("completion"))
+        files = sorted(
+            os.path.join(cache_path, f)
+            for f in os.listdir(cache_path)
+            if f.endswith(".parquet")
+        )
+        if files:
+            df = spark.read.schema(CACHE_SCHEMA).parquet(*files)
+            # Append-only table: concurrent writers may duplicate keys; the
+            # read side resolves deterministically (completions for a key
+            # are identical by construction, min is a tie-break not a
+            # choice).
+            return df.groupBy("cache_key").agg(F.min("completion").alias("completion"))
     return spark.createDataFrame([], CACHE_SCHEMA)
 
 
@@ -82,9 +102,21 @@ def cached_llm_call(
     else:
         answers = cache.unionByName(fresh)
 
+    # Name-based equi-join, NOT an instance-based condition: when the input
+    # df already embeds an earlier cached_llm_call (a multi-instruction
+    # pipeline), both sides carry the same cache-parquet lineage and
+    # Spark's self-join disambiguation can silently resolve
+    # keyed["__cache_key"] == answers["cache_key"] against the WRONG
+    # branch — every later instruction then left-joins to nothing and
+    # completes as NULL (caught by the streaming_llm_cache_equiv oracle,
+    # round 7). Joining on the column NAME sidesteps attribute identity.
     out = (
-        keyed.join(answers, keyed["__cache_key"] == answers["cache_key"], "left")
-        .drop("cache_key", "__cache_key")
+        keyed.join(
+            answers.withColumnRenamed("cache_key", "__cache_key"),
+            on="__cache_key",
+            how="left",
+        )
+        .drop("__cache_key")
         .withColumnRenamed("completion", out_col)
     )
     return out

@@ -5249,3 +5249,55 @@ def streaming_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type", "value"
     )
+
+
+@query("streaming_llm_cache_equiv", oracle=_MAPREDUCE_ORACLE)
+def streaming_llm_cache_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch LLM stage (streaming/jobs.py foreach_batch_llm —
+    SURVEY §2.10's one batch-semantics streaming piece) under the oracle:
+    the documents table split into two mtime-ordered files streams through
+    the full instruction map/reduce pipeline ONE MICRO-BATCH AT A TIME,
+    with completions routed through the persistent cache table (L5) —
+    batch 2's repeated prompts are served from cache written by batch 1.
+    The parquet the stage appends across batches must hash-match the exact
+    batch-mode MAPREDUCE oracle — cache hits and misses are
+    indistinguishable from fresh computation or the hash diverges.
+    Checkpoint/cache/output are wiped per build so every run replays both
+    micro-batches from a clean slate."""
+    import shutil
+
+    from instructionspipe_spark.streaming.jobs import foreach_batch_llm
+
+    _t(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet").replace("'", "''")
+    scratch = _stream_twin_inputs(
+        sf_dir,
+        "llm_cache_v1",
+        [
+            ("a.parquet", f"SELECT doc_id, text, lang FROM '{src}' WHERE doc_id % 2 = 0 ORDER BY doc_id"),
+            ("b.parquet", f"SELECT doc_id, text, lang FROM '{src}' WHERE doc_id % 2 = 1 ORDER BY doc_id"),
+        ],
+    )
+    run_dir = os.path.join(os.path.dirname(scratch), "llm_cache_v1_run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    out_path = os.path.join(run_dir, "out")
+    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(scratch).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(scratch)
+    )
+    writer = foreach_batch_llm(
+        stream,
+        DOC_PIPELINE,
+        MockLlm(),
+        cache_path=os.path.join(run_dir, "cache"),
+        checkpoint=os.path.join(run_dir, "ckpt"),
+        out_path=out_path,
+    )
+    q = writer.start()
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "doc_id", "summary", "keywords", "report", "result"
+    )

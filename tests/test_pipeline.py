@@ -217,3 +217,48 @@ def test_chained_three_stage_pipeline(spark):
     assert row["b"] == _mock_md5(pb)
     assert row["c"] == _mock_md5(pc)
     assert row["result"] == f"# c\n{row['c']}"
+
+
+def test_cached_llm_multi_instruction_pipeline(spark, tmp_path):
+    """Regression (round 7): a multi-instruction pipeline through CachedLlm
+    embeds several append-then-read cycles against the same cache directory
+    in one plan; Spark's ReuseExchange canonicalizes two directory scans of
+    the same root path as equal even with different file listings, so later
+    instructions' joins probed the first instruction's (smaller) listing
+    and completed as NULL — nondeterministically. _read_cache now pins the
+    explicit file list into each scan's identity. Cached results must be
+    byte-equal to the plain MockLlm run, on first fill AND on a pure
+    cache-hit rerun."""
+    from instructionspipe_spark.plans.cache import CachedLlm
+
+    pipe = Pipeline(
+        stages=(
+            (
+                Instruction(name="s", scope=("text",), content="summ"),
+                Instruction(name="k", scope=("text", "tag"), content="keyw"),
+            ),
+            (Instruction(name="r", scope=("s", "k"), content="merge"),),
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha", "t1"), (2, "beta", "t2"), (3, "alpha", "t1")],
+        ["id", "text", "tag"],
+    )
+    plain = sorted(
+        tuple(r) for r in run_pipeline(df, pipe, MockLlm()).select("id", "s", "k", "r", "result").collect()
+    )
+    cache = str(tmp_path / "cache")
+    filled = sorted(
+        tuple(r)
+        for r in run_pipeline(df, pipe, CachedLlm(MockLlm(), cache))
+        .select("id", "s", "k", "r", "result")
+        .collect()
+    )
+    assert filled == plain
+    rerun = sorted(
+        tuple(r)
+        for r in run_pipeline(df, pipe, CachedLlm(MockLlm(), cache))
+        .select("id", "s", "k", "r", "result")
+        .collect()
+    )
+    assert rerun == plain
