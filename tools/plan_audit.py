@@ -118,7 +118,14 @@ def main() -> int:
             else:
                 flags.append(f"info raw-fact-broadcast={a['raw_fact_broadcasts']} (unhinted; SMJ at scale)")
         if a["hard_cartesian"]:
-            if name in ("similarity_brute_topk", "embedding_near_dup", "ngram_jaccard_pairs"):
+            if name in (
+                "similarity_brute_topk", "embedding_near_dup", "ngram_jaccard_pairs",
+                # Trained-mode recall contracts deliberately COMPUTE the exact
+                # brute-force baseline next to the ANN/dedup result — the
+                # cartesian IS the contract's truth side, not the scale path
+                # (which is the banded/celled variant under test).
+                "ivfadc_trained_recall", "pq_trained_recall", "semantic_dedup_trained",
+            ):
                 flags.append("info cartesian (documented brute-force baseline; blocked/LSH variant is the scale path)")
             else:
                 flags.append(f"HARD CARTESIAN={a['hard_cartesian']}")
