@@ -679,6 +679,94 @@ def bench_kernel() -> int:
     return 0
 
 
+STREAMING_QUERIES = [
+    # (query name, input-rows SQL over the sf dir's events/documents)
+    ("streaming_tumbling_equiv", "events"),
+    ("streaming_sliding_equiv", "events"),
+    ("streaming_session_equiv", "events"),
+    ("streaming_late_drop_equiv", "events"),
+    ("streaming_dedup_equiv", "events"),
+    ("streaming_band_admission", "documents"),
+    ("streaming_llm_cache_equiv", "documents"),
+]
+
+
+def bench_streaming() -> int:
+    """Streaming drain throughput (round 7): the streaming layer has oracle
+    rows but no perf record — time each streaming-equals-batch twin's FULL
+    drain (file source -> state store -> sink -> snapshot) at the bench SF
+    and report rows/s through the streaming runtime. Each twin's dominant
+    cost is the stream itself (the batch-side snapshot is the emitted
+    result, orders of magnitude smaller). Median of 3 after one warmup
+    (warmup also materializes the twins' scratch inputs). Writes
+    BENCH_STREAMING.md; `python bench.py --streaming`."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from instructionspipe_spark import get_spark
+    from instructionspipe_spark.registry import release_persisted
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="instructionspipe-spark-streaming-bench")
+    queries = entrymod.queries()
+
+    counts = {
+        t: duckdb.sql(f"SELECT COUNT(*) FROM '{sf_dir}/{t}.parquet'").fetchone()[0]
+        for t in ("events", "documents")
+    }
+
+    rows = []
+    for name, table in STREAMING_QUERIES:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+
+        def run_once() -> float:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            release_persisted()
+            return time.time() - t0
+
+        run_once()  # warmup + scratch materialization
+        med = _median([run_once() for _ in range(3)])
+        n_in = counts[table]
+        rows.append(
+            {
+                "query": name,
+                "sec": round(med, 2),
+                "input_rows": n_in,
+                "rows_per_s": round(n_in / med, 0),
+            }
+        )
+        print(f"# {name}: {med:.2f}s  {n_in / med:,.0f} rows/s", file=sys.stderr)
+
+    md = [
+        "# BENCH_STREAMING — drain throughput of the streaming twins",
+        "",
+        f"Full end-to-end drain of each streaming-equals-batch registry query",
+        f"at sf{sf} (`{sf_dir}`): file source -> watermark/state store -> sink",
+        "-> snapshot, median of 3 after warmup. `rows/s` is INPUT rows through",
+        "the streaming runtime per wall second — the number a capacity plan",
+        "needs (emitted results are orders of magnitude smaller). The LLM",
+        "cache twin includes two full foreachBatch pipeline executions plus",
+        "cache-table round-trips. Regenerate with `python bench.py --streaming`.",
+        "",
+        "| query | sec | input rows | rows/s |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append(f"| {r['query']} | {r['sec']} | {r['input_rows']} | {int(r['rows_per_s'])} |")
+    md.append("")
+    with open(os.path.join(here, "BENCH_STREAMING.md"), "w") as f:
+        f.write("\n".join(md))
+    print(json.dumps({"metric": "streaming_drain", "sf": sf, "rows": rows}))
+    return 0
+
+
 if __name__ == "__main__":
     if "--engines" in sys.argv[1:]:
         raise SystemExit(bench_engines())
@@ -688,4 +776,6 @@ if __name__ == "__main__":
         raise SystemExit(bench_pressure())
     if "--kernel" in sys.argv[1:]:
         raise SystemExit(bench_kernel())
+    if "--streaming" in sys.argv[1:]:
+        raise SystemExit(bench_streaming())
     raise SystemExit(main())

@@ -398,6 +398,17 @@ def streaming_band_matches(
             ).alias("__band_hash"),
         )
         .filter(F.col("__band_hash").isNotNull())
+        # Micro-batch parallelism: the stream side inherits the SOURCE's
+        # partitioning (a 1-file batch = 1 partition), and the stream-static
+        # joins below broadcast the static side — without this shuffle every
+        # candidate verification of the batch lands on ONE task (measured
+        # 28s -> 3.6s at sf0.1 on the dense-law corpus). Band hashes are
+        # md5: uniform keys, no skew.
+        .repartition(
+            stream_df.sparkSession.sparkContext.defaultParallelism,
+            "__band_idx",
+            "__band_hash",
+        )
     )
     nrm_c = corpus.select(
         F.col(corpus_id_col).alias("__corpus_id"),
