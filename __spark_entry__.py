@@ -30,20 +30,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries of queries(). Round-7 priority order (VERDICT_r6 "Next round" #2:
 # rotate onto the stalest records; every registry query has been gated at
 # least once, so priority = never-gated new rows, then oldest gate record):
-# 1. The EIGHT new r7 queries: the trained-mode (KMeans) recall contracts
+# 1. The NINE new r7 queries: the trained-mode (KMeans) recall contracts
 #    (ivfadc_trained_recall, pq_trained_recall, semantic_dedup_trained —
 #    VERDICT item 1) and the three new streaming twins
 #    (streaming_sliding_equiv, streaming_session_equiv,
 #    streaming_late_drop_equiv — VERDICT item 4) plus the stateful
-#    cross-batch dedup twin (streaming_dedup_equiv) and the foreachBatch
+#    cross-batch dedup twin (streaming_dedup_equiv), the foreachBatch
 #    LLM-cache twin (streaming_llm_cache_equiv — the row that caught the
-#    ReuseExchange cache bug).
+#    ReuseExchange cache bug), and the applyInPandasWithState custom
+#    stateful operator twin (streaming_stateful_counts_equiv).
 # 2. The FIFTEEN queries whose newest gate record is r4 — the full
 #    r4-or-older set, verified against the r1-r6 CORRECTNESS union.
-# 3. Backfill: 27 of the 49 r5-gated queries (LLM family, similarity
-#    family, TPC-H mid-family). The 22 r5-gated rows left out
+# 3. Backfill: 26 of the 49 r5-gated queries (LLM family, similarity
+#    family, TPC-H mid-family). The 23 r5-gated rows left out
 #    (grouping_sets_revenue, percentile_order_value, pivot_event_matrix,
-#    window_moving_avg,
+#    q8_market_share, window_moving_avg,
 #    q10/q15/q17, date_arithmetic, variant_json_extract, join_full_outer,
 #    unpivot_metrics, the textstats cohort) are exactly two rounds old
 #    after r7 and lead the r8 rotation.
@@ -52,7 +53,7 @@ _GATE_FIRST = (
     "ivfadc_trained_recall", "pq_trained_recall", "semantic_dedup_trained",
     "streaming_sliding_equiv", "streaming_session_equiv",
     "streaming_late_drop_equiv", "streaming_dedup_equiv",
-    "streaming_llm_cache_equiv",
+    "streaming_llm_cache_equiv", "streaming_stateful_counts_equiv",
     # -- stalest: last gated r4 --------------------------------------------
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "agg_rollup", "agg_distinct", "agg_cube", "cross_corpus_near_dups",
@@ -69,7 +70,7 @@ _GATE_FIRST = (
     "q14_promo_ratio", "q18_large_orders", "salted_aggregate",
     "q4_priority_exists", "q13_customer_distribution",
     "q19_disjunctive_revenue", "q22_dormant_customers", "simhash_near_dedup",
-    "q7_nation_trade", "q8_market_share",
+    "q7_nation_trade",
 )
 
 

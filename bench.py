@@ -686,6 +686,7 @@ STREAMING_QUERIES = [
     ("streaming_session_equiv", "events"),
     ("streaming_late_drop_equiv", "events"),
     ("streaming_dedup_equiv", "events"),
+    ("streaming_stateful_counts_equiv", "events"),
     ("streaming_band_admission", "documents"),
     ("streaming_llm_cache_equiv", "documents"),
 ]

@@ -5301,3 +5301,75 @@ def streaming_llm_cache_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path).select(
         "doc_id", "summary", "keywords", "report", "result"
     )
+
+
+@query(
+    "streaming_stateful_counts_equiv",
+    oracle="""
+    WITH e AS (
+        SELECT user_id % 20 AS skey, event_type, event_id % 2 AS b FROM events
+    ),
+    d0 AS (SELECT DISTINCT skey, event_type FROM e WHERE b = 0),
+    d1 AS (SELECT DISTINCT skey, event_type FROM e WHERE b = 1),
+    new1 AS (
+        SELECT d1.skey, COUNT(*) AS c
+        FROM d1 LEFT JOIN d0 ON d0.skey = d1.skey AND d0.event_type = d1.event_type
+        WHERE d0.skey IS NULL GROUP BY d1.skey
+    ),
+    tot AS (SELECT skey, COUNT(DISTINCT event_type) AS u FROM e GROUP BY skey),
+    b0 AS (
+        SELECT skey, COUNT(*) AS n, COUNT(DISTINCT event_type) AS u
+        FROM e WHERE b = 0 GROUP BY skey
+    ),
+    b1 AS (SELECT skey, COUNT(*) AS n FROM e WHERE b = 1 GROUP BY skey)
+    SELECT skey, n AS batch_rows, u AS new_uniques, u AS total_uniques FROM b0
+    UNION ALL
+    SELECT b1.skey, b1.n AS batch_rows,
+           COALESCE(new1.c, 0) AS new_uniques,
+           tot.u AS total_uniques
+    FROM b1
+    LEFT JOIN new1 ON new1.skey = b1.skey
+    JOIN tot ON tot.skey = b1.skey
+    """,
+)
+def streaming_stateful_counts_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful streaming operator (streaming/jobs.py
+    stateful_running_dedup_count — applyInPandasWithState, the principled
+    version of the reference's in-process dedup Set,
+    etl_slimpajama_dc_proc.py:116-138) under the oracle: events keyed by
+    user_id%20 replayed as two mtime-ordered micro-batches; each batch
+    emits per-key (batch_rows, new_uniques, total_uniques), where batch
+    2's new_uniques counts event types NOT present in the key's batch-1
+    state — the checkpointed GroupState carrying the seen-hash set across
+    micro-batches. The batch oracle reconstructs both emissions from the
+    event_id%2 cohorts. A lost or leaking state store (reset sets, dropped
+    keys) shifts new/total counts and diverges the hash. 35-day watermark
+    > the 30-day event span, so no row is ever late-dropped."""
+    _t(spark, sf_dir, "events")
+    from instructionspipe_spark.streaming.jobs import (
+        run_stream_to_df,
+        stateful_running_dedup_count,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet").replace("'", "''")
+    scratch = _stream_twin_inputs(
+        sf_dir,
+        "stateful_v1",
+        [
+            (
+                "a.parquet",
+                f"SELECT user_id % 20 AS skey, event_type, ts FROM '{src}' "
+                f"WHERE event_id % 2 = 0 ORDER BY event_id",
+            ),
+            (
+                "b.parquet",
+                f"SELECT user_id % 20 AS skey, event_type, ts FROM '{src}' "
+                f"WHERE event_id % 2 = 1 ORDER BY event_id",
+            ),
+        ],
+    )
+    stream = _events_stream(spark, scratch, max_files=1)
+    counts = stateful_running_dedup_count(
+        stream, "skey", "event_type", "ts", watermark="35 days"
+    )
+    return run_stream_to_df(counts, "append")
