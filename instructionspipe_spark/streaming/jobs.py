@@ -149,7 +149,13 @@ def foreach_batch_llm(stream_df: DataFrame, pipeline, llm, cache_path: str, chec
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = run_pipeline(batch_df, pipeline, effective_llm)
-        out.write.mode("append").parquet(out_path)
+        # EXACTLY-ONCE output: each micro-batch owns a `batch=<id>`
+        # partition written with overwrite semantics, so a retried batch
+        # (task failure after a partial append) replaces its own partition
+        # instead of duplicating rows — the standard idempotent-foreachBatch
+        # pattern for file sinks. Readers of `out_path` see a `batch`
+        # partition column recording micro-batch lineage for free.
+        out.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return (
         stream_df.writeStream.foreachBatch(process)
