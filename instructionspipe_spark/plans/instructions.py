@@ -62,9 +62,26 @@ class Pipeline:
 
 def load_pipeline(path: str) -> Pipeline:
     """Load a pipeline config JSON (shape: {"pipe": [[instr...], [instr...]]},
-    the reference's demo_configs/mapreduce_summ/ehr.json layout)."""
+    the reference's demo_configs/mapreduce_summ/ehr.json layout).
+
+    ``pipe`` may also be a STRING path to a JSON file holding the stage
+    list (the reference's indirection, ``inf.py:40-41`` — its ehr_v1.json
+    points at ehr_instructions.json). The reference resolves the path
+    against the process CWD; that is honored first, with a fallback
+    resolution against the config file's own directory so a shipped
+    config+instructions pair loads from anywhere."""
+    import os
+
     with open(path) as f:
-        return Pipeline.from_dict(json.load(f))
+        d = json.load(f)
+    if isinstance(d.get("pipe"), str):
+        ref = d["pipe"]
+        candidate = ref if os.path.exists(ref) else os.path.join(
+            os.path.dirname(os.path.abspath(path)), os.path.basename(ref)
+        )
+        with open(candidate) as f:
+            d = dict(d, pipe=json.load(f))
+    return Pipeline.from_dict(d)
 
 
 def load_pipelines(path: str) -> tuple[Pipeline, ...]:
