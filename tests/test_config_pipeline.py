@@ -152,3 +152,60 @@ def test_reference_demo_configs_load_verbatim(spark):
     final_names = [i.name for i in pipe.stages[-1]]
     assert all(out[n] is not None for n in final_names)
     assert out["result"].startswith("# " + final_names[0])
+
+
+def test_run_config_cli_twin(spark, tmp_path):
+    """plans/runner.py run_config = the reference CLI
+    (apps/instructions-mapreduce/inf.py) in one call: a reference-shaped
+    config (in/out/chatml paths + llms + pipe) runs JSONL -> pipeline ->
+    JSONL + ChatML sidecars. MockLlm override; outputs are Spark part-file
+    directories."""
+    from instructionspipe_spark.plans.runner import llms_from_config, run_config
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "notes": "peanut allergy", "encounters": "er visit", "labs": "a1c"}\n'
+        '{"id": 2, "notes": "none", "encounters": "checkup", "labs": "cbc"}\n'
+    )
+    cfg = {
+        "in_data_path": str(src),
+        "out_data_path": str(tmp_path / "out.jsonl"),
+        "chatml_path": str(tmp_path / "chatml.jsonl"),
+        "llms": [
+            {"api_type": "openai", "api_url": "http://0.0.0.0:1/v1",
+             "api_key": "null", "model": "m1", "temperature": 0.05,
+             "top_p": 0.05, "seed": 2}
+        ],
+        "pipe": CONFIG["pipe"],
+    }
+    cfg_path = tmp_path / "run.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    # llms section parses into routing clients (not called here).
+    clients = llms_from_config(cfg["llms"])
+    assert set(clients) == {"m1"} and clients["m1"].temperature == 0.05
+
+    result = run_config(spark, str(cfg_path), llm=MockLlm(), append_mode=False)
+    rows = {r["id"]: r for r in result.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["summary"] is not None and rows[1]["result"].startswith("# summary")
+
+    out_back = spark.read.json(cfg["out_data_path"])
+    assert out_back.count() == 2 and "summary" in out_back.columns
+    assert "summary__msgs" not in out_back.columns  # lineage lives in the sidecar
+    chatml = spark.read.json(cfg["chatml_path"])
+    # one row per (record, instruction): 2 records x 3 instructions
+    assert chatml.count() == 6
+    assert set(r["name"] for r in chatml.select("name").distinct().collect()) == {
+        "medication_history", "allergies", "summary"
+    }
+    meta = spark.read.json(cfg["chatml_path"] + ".meta.jsonl")
+    assert meta.count() == 2 and "session_id" in meta.columns
+    # meta joins chatml on the content-addressed session_id
+    assert chatml.join(meta, "session_id").count() == 6
+
+    # append_mode=False refuses to clobber (reference inf.py:45-55)
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        run_config(spark, str(cfg_path), llm=MockLlm(), append_mode=False)
