@@ -150,11 +150,15 @@ def run_judge_fanout(
     id_cols: list[str],
     score_fn=factuality_score,
     llm_factory=MockJudgeLlm,
+    raw_col_out: str | None = None,
 ) -> DataFrame:
     """L7 fan-out + A9 ensemble: judge the prompt with each model, parse the
     JSON label, map to a score, mean-ensemble across models (reference
     eval_with_facts.py:503-555). One narrow stage per model (same row, no
-    shuffle), then one groupBy on the id for the ensemble."""
+    shuffle), then one groupBy on the id for the ensemble. With
+    ``raw_col_out`` the per-model raw judge answers are kept as an array
+    column (the reference's per-judgement rationales,
+    eval_with_facts.py:656-658)."""
     out = df
     score_cols = []
     for m in models:
@@ -164,4 +168,7 @@ def run_judge_fanout(
         score_cols.append(score_col)
     # mean across the per-model score columns — same-row ensemble, no shuffle
     mean = sum((F.col(c) for c in score_cols[1:]), F.col(score_cols[0])) / F.lit(len(score_cols))
-    return out.withColumn("score", mean).drop(*[c for m in models for c in (f"__raw_{m}", f"__score_{m}")])
+    out = out.withColumn("score", mean)
+    if raw_col_out is not None:
+        out = out.withColumn(raw_col_out, F.array(*[F.col(f"__raw_{m}") for m in models]))
+    return out.drop(*[c for m in models for c in (f"__raw_{m}", f"__score_{m}")])

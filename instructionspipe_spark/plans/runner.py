@@ -98,3 +98,86 @@ def run_config(
     write_jsonl(chatml_rows, chatml_path, mode=mode)
     write_jsonl(result.select(*in_cols, "session_id"), meta_path, mode=mode)
     return result
+
+
+def run_judge_config(
+    spark: SparkSession,
+    config_path: str,
+    factuality_factory=None,
+    eligibility_factory=None,
+    schema=None,
+):
+    """Drop-in twin of the judge CLI (``apps/llm_as_a_judge/
+    eval_with_facts.py``): the SAME config JSON — in/out paths, the
+    field-name mapping (``in_text_field`` / ``out_text_field`` /
+    ``instruction_field`` / ``gt_*_field``), ``max_sample_size``,
+    ``extra_cols``, ``llms`` — judges every case for factuality AND
+    eligibility with a per-model fan-out + mean ensemble, writes the
+    result rows (reference output shape: scores, ground truths, texts,
+    per-model rationale arrays, extras), and returns
+    ``(results_df, metrics_df)`` where metrics is the ported per-name
+    aggregation (``plans/judge.py::judge_metrics``).
+
+    The two factories build the judge clients per model name; they default
+    to the deterministic ``MockJudgeLlm`` twins (offline runs, tests) —
+    pass factories wrapping ``OpenAiLlm`` with your judge system prompts
+    for live judging."""
+    from instructionspipe_spark.plans.judge import (
+        MockJudgeLlm,
+        eligibility_score,
+        factuality_score,
+        judge_metrics,
+        run_judge_fanout,
+    )
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    factuality_factory = factuality_factory or MockJudgeLlm
+    eligibility_factory = eligibility_factory or (
+        lambda m: MockJudgeLlm(m, labels=("No Issues", "Minor Issue(s)"))
+    )
+
+    cases = read_jsonl(spark, cfg["in_data_path"], schema=schema)
+    if cfg.get("max_sample_size"):
+        cases = cases.limit(int(cfg["max_sample_size"]))
+    in_f, out_f, instr_f = (
+        cfg["in_text_field"], cfg["out_text_field"], cfg["instruction_field"],
+    )
+    models = [c["model"] for c in cfg["llms"]]
+    prompt = F.concat(
+        F.lit("## Instruction\n"), F.coalesce(F.col(instr_f), F.lit("")),
+        F.lit("\n\n## Source\n"), F.coalesce(F.col(in_f), F.lit("")),
+        F.lit("\n\n## Generated\n"), F.coalesce(F.col(out_f), F.lit("")),
+    )
+    judged = cases.withColumn("__judge_prompt", prompt)
+    judged = run_judge_fanout(
+        judged, "__judge_prompt", models, id_cols=[],
+        score_fn=factuality_score, llm_factory=factuality_factory,
+        raw_col_out="factuality_rationales",
+    ).withColumnRenamed("score", "factuality")
+    judged = run_judge_fanout(
+        judged, "__judge_prompt", models, id_cols=[],
+        score_fn=eligibility_score, llm_factory=eligibility_factory,
+        raw_col_out="eligibility_rationales",
+    ).withColumnRenamed("score", "eligibility")
+
+    gt_f, gt_e = cfg.get("gt_factuality_field"), cfg.get("gt_eligibility_field")
+    cols = [
+        F.col("factuality"),
+        F.col("eligibility"),
+        (F.col(gt_f) if gt_f and gt_f in cases.columns else F.lit(None).cast("double")).alias("gt_factuality"),
+        (F.col(gt_e) if gt_e and gt_e in cases.columns else F.lit(None).cast("double")).alias("gt_eligibility"),
+        F.col(in_f).alias("src_text"),
+        F.col(out_f).alias("gen_text"),
+        F.col(instr_f).alias("instruction"),
+        F.col("factuality_rationales"),
+        F.col("eligibility_rationales"),
+    ]
+    cols += [F.col(c) for c in cfg.get("extra_cols") or () if c in cases.columns]
+    if "name" not in cases.columns:  # reference fallback: out["name"] = "n/a"
+        cols.append(F.lit("n/a").alias("name"))
+    else:
+        cols.append(F.col("name"))
+    results = judged.select(*cols)
+    write_jsonl(results, cfg["out_data_path"], mode="overwrite")
+    return results, judge_metrics(spark, results)

@@ -209,3 +209,58 @@ def test_run_config_cli_twin(spark, tmp_path):
 
     with pytest.raises(FileExistsError):
         run_config(spark, str(cfg_path), llm=MockLlm(), append_mode=False)
+
+
+def test_run_judge_config_cli_twin(spark, tmp_path):
+    """plans/runner.py run_judge_config = the judge CLI
+    (apps/llm_as_a_judge/eval_with_facts.py) in one call, over its
+    reference-shaped config (field mapping, max_sample_size, extra_cols,
+    llms). MockJudgeLlm fan-out; metrics from the ported per-name SQL."""
+    from instructionspipe_spark.plans.runner import run_judge_config
+
+    src = tmp_path / "cases.jsonl"
+    src.write_text(
+        '{"id": 1, "name": "summ", "in_text": "src a", "out_text": "gen a", "instruction": "summarize", "gt_factuality": 1.0, "gt_eligibility": 1.0}\n'
+        '{"id": 2, "name": "summ", "in_text": "src b", "out_text": "gen b", "instruction": "summarize", "gt_factuality": null, "gt_eligibility": null}\n'
+        '{"id": 3, "name": "kw", "in_text": "src c", "out_text": "gen c", "instruction": "keywords", "gt_factuality": 0.0, "gt_eligibility": 0.25}\n'
+    )
+    cfg = {
+        "in_data_path": str(src),
+        "out_data_path": str(tmp_path / "results.jsonl"),
+        "in_text_field": "in_text",
+        "out_text_field": "out_text",
+        "instruction_field": "instruction",
+        "gt_factuality_field": "gt_factuality",
+        "gt_eligibility_field": "gt_eligibility",
+        "max_sample_size": 10,
+        "extra_cols": ["id"],
+        "llms": [{"model": "judge-a"}, {"model": "judge-b"}],
+    }
+    cfg_path = tmp_path / "judge.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    results, metrics = run_judge_config(spark, str(cfg_path))
+    rows = {r["id"]: r for r in results.collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        # 2-model mean of {0, 1} scores -> {0.0, 0.5, 1.0}
+        assert r["factuality"] in (0.0, 0.5, 1.0)
+        assert 0.0 <= r["eligibility"] <= 1.0
+        assert len(r["factuality_rationales"]) == 2
+        assert len(r["eligibility_rationales"]) == 2
+    assert rows[1]["gt_factuality"] == 1.0 and rows[2]["gt_factuality"] is None
+    assert rows[1]["src_text"] == "src a" and rows[1]["gen_text"] == "gen a"
+
+    m = {r["name"]: r for r in metrics.collect()}
+    assert set(m) == {"summ", "kw"} and m["summ"]["n"] == 2 and m["kw"]["n"] == 1
+    for r in m.values():
+        assert 0.0 <= r["avg_factuality"] <= 1.0
+
+    # results landed on disk in the reference's output shape
+    back = spark.read.json(cfg["out_data_path"])
+    assert back.count() == 3 and {"factuality", "eligibility", "name"} <= set(back.columns)
+
+    # determinism: a second run reproduces scores exactly
+    results2, _ = run_judge_config(spark, str(cfg_path))
+    assert sorted((r["id"], r["factuality"], r["eligibility"]) for r in results2.collect()) == \
+           sorted((r["id"], r["factuality"], r["eligibility"]) for r in results.collect())
