@@ -181,3 +181,103 @@ def run_judge_config(
     results = judged.select(*cols)
     write_jsonl(results, cfg["out_data_path"], mode="overwrite")
     return results, judge_metrics(spark, results)
+
+
+def run_etl_sampling_config(
+    spark: SparkSession, config_path: str, schema=None
+) -> DataFrame:
+    """Drop-in twin of ``apps/etl/etl_sampling_by_key.py``: sequential
+    single-key dedup over ``deduplication_keys`` (the reference's
+    ``multi_deduplication``), then per-key capped sampling over
+    ``sampling_keys`` at ``max_group_size`` (reference seed 2). The
+    reference keeps the file-order first occurrence and draws
+    ``random.sample``; a distributed engine has no file order, so both
+    choices are DETERMINISTIC here (min-tiebreak survivor, seeded
+    hash-order sample) — stable across runs and partitionings, which the
+    reference's are not."""
+    from instructionspipe_spark.operators.dedup import multi_key_dedup
+    from instructionspipe_spark.operators.sampling import capped_group_sample
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    df = read_jsonl(spark, cfg["in_data_path"], schema=schema)
+    dedup_keys = cfg.get("deduplication_keys") or []
+    if dedup_keys:
+        tiebreak = [c for c in df.columns if c not in dedup_keys]
+        df = multi_key_dedup(df, [[k] for k in dedup_keys], tiebreak)
+    for key in cfg.get("sampling_keys") or []:
+        df = capped_group_sample(
+            df, [key], int(cfg["max_group_size"]), seed=int(cfg.get("seed") or 2)
+        )
+    write_jsonl(df, cfg["out_data_path"], mode="overwrite")
+    return df
+
+
+def run_etl_split_config(
+    spark: SparkSession, config_path: str, schema=None
+) -> DataFrame:
+    """Drop-in twin of ``apps/etl/etl_split_data_by_key.py``: leak-free
+    grouped train/val/test split — every ``instruction_name_col`` group
+    lands wholly in one split, ratios from ``train_val_test_ratio`` —
+    written to ``out_data_dir/{train,val,test}``. Returns the frame with
+    its ``split`` column."""
+    from instructionspipe_spark.operators.splitting import grouped_split
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    df = read_jsonl(spark, cfg["in_data_path"], schema=schema)
+    r = cfg["train_val_test_ratio"]
+    ratios = {"train": float(r[0]), "val": float(r[1]), "test": float(r[2])}
+    out = grouped_split(
+        df, cfg["instruction_name_col"], ratios, seed=int(cfg.get("seed") or 2)
+    )
+    for name in ratios:
+        write_jsonl(
+            out.filter(F.col("split") == name).drop("split"),
+            os.path.join(cfg["out_data_dir"], name),
+            mode="overwrite",
+        )
+    return out
+
+
+def run_etl_dedup_config(
+    spark: SparkSession, config_path: str, schema=None
+) -> DataFrame:
+    """Drop-in twin of ``apps/etl/etl_slimpajama_dc_proc.py`` at its
+    shipped configuration: per ``target_text_cols`` column, the
+    ``low_length_filter`` minimums are applied, then MinHash-LSH
+    near-dedup at ``lsh_threshold`` with ``minhash_permutation_num``
+    permutations (char ``n_gram`` shingles, like the reference's
+    CountVectorizer char analyzer; bands = num_perm/8 rows-per-band). The
+    reference's insertion-order survivor becomes the deterministic
+    smallest-id survivor (a synthetic ``__row_id`` if no id column
+    exists). ``most_dup > 0`` (accept up to N duplications) is not
+    implemented — the shipped config uses 0, and the generalization needs
+    per-doc dup counting (see operators/dedup.py ngram_jaccard_pairs)."""
+    from instructionspipe_spark.operators.dedup import minhash_lsh_dedup
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    if int(cfg.get("most_dup") or 0) != 0:
+        raise NotImplementedError(
+            "most_dup > 0 needs per-doc duplicate counting; the shipped "
+            "reference config uses most_dup=0 (drop every near-duplicate)"
+        )
+    df = read_jsonl(spark, cfg["in_data_path"], schema=schema) if "in_data_path" in cfg \
+        else read_jsonl(spark, cfg["data_path_or_name"], schema=schema)
+    for col, min_len in (cfg.get("low_length_filter") or {}).items():
+        df = df.filter(F.length(F.coalesce(F.col(col), F.lit(""))) >= int(min_len))
+    id_col = "__row_id"
+    df = df.withColumn(id_col, F.monotonically_increasing_id())
+    num_perm = int(cfg.get("minhash_permutation_num") or 128)
+    for col in cfg.get("target_text_cols") or []:
+        df = minhash_lsh_dedup(
+            df, id_col, col,
+            num_perm=num_perm,
+            bands=max(1, num_perm // 8),
+            ngram=int(cfg.get("n_gram") or 3),
+            threshold=float(cfg.get("lsh_threshold") or 0.5),
+        )
+    df = df.drop(id_col)
+    write_jsonl(df, cfg["output_path"], mode="overwrite")
+    return df

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from instructionspipe_spark.plans.compiler import run_pipeline
 from instructionspipe_spark.plans.instructions import load_pipeline
 from instructionspipe_spark.plans.llm_kernel import MockLlm
@@ -264,3 +266,114 @@ def test_run_judge_config_cli_twin(spark, tmp_path):
     results2, _ = run_judge_config(spark, str(cfg_path))
     assert sorted((r["id"], r["factuality"], r["eligibility"]) for r in results2.collect()) == \
            sorted((r["id"], r["factuality"], r["eligibility"]) for r in results.collect())
+
+
+def test_run_etl_configs_cli_twins(spark, tmp_path):
+    """plans/runner.py ETL twins over reference-shaped configs:
+    sampling-by-key (sequential dedup + capped groups), split-by-key
+    (leak-free grouped train/val/test into out_data_dir subdirs), and the
+    slimpajama dedup processor (length filter + MinHash near-dedup)."""
+    from instructionspipe_spark.plans.runner import (
+        run_etl_dedup_config,
+        run_etl_sampling_config,
+        run_etl_split_config,
+    )
+
+    # --- sampling by key ---------------------------------------------------
+    src = tmp_path / "samp.jsonl"
+    src.write_text(
+        "\n".join(
+            json.dumps({"col1": f"g{i % 2}", "col2": f"d{i % 4}", "v": i})
+            for i in range(12)
+        )
+    )
+    cfg = {
+        "in_data_path": str(src),
+        "out_data_path": str(tmp_path / "samp_out.jsonl"),
+        "sampling_keys": ["col1"],
+        "deduplication_keys": ["col2"],
+        "max_group_size": 3,
+    }
+    p = tmp_path / "samp.json"
+    p.write_text(json.dumps(cfg))
+    out = run_etl_sampling_config(spark, str(p))
+    rows = out.collect()
+    # dedup on col2 leaves 4 rows (one per d0..d3); caps are then no-ops
+    assert len(rows) == 4
+    assert spark.read.json(cfg["out_data_path"]).count() == 4
+    # cap enforcement: without dedup, each col1 group (6 rows) caps at 3
+    cfg2 = dict(cfg, deduplication_keys=[], out_data_path=str(tmp_path / "samp_out2.jsonl"))
+    p2 = tmp_path / "samp2.json"
+    p2.write_text(json.dumps(cfg2))
+    out2 = run_etl_sampling_config(spark, str(p2))
+    by_g = {r["col1"]: 0 for r in out2.collect()}
+    for r in out2.collect():
+        by_g[r["col1"]] += 1
+    assert by_g == {"g0": 3, "g1": 3}
+
+    # --- split by key ------------------------------------------------------
+    src2 = tmp_path / "split.jsonl"
+    src2.write_text(
+        "\n".join(
+            json.dumps({"name": f"instr{i % 10}", "v": i}) for i in range(100)
+        )
+    )
+    cfg3 = {
+        "in_data_path": str(src2),
+        "out_data_dir": str(tmp_path / "tvt"),
+        "seed": 2,
+        "instruction_name_col": "name",
+        "train_val_test_ratio": [0.8, 0.1, 0.1],
+    }
+    p3 = tmp_path / "split.json"
+    p3.write_text(json.dumps(cfg3))
+    out3 = run_etl_split_config(spark, str(p3))
+    # leak-free: each name lands wholly in one split
+    leaks = (
+        out3.groupBy("name").agg(F.count_distinct("split").alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+    assert leaks == 0
+    import os as _os
+
+    total = 0
+    for name in ("train", "val", "test"):
+        d = _os.path.join(cfg3["out_data_dir"], name)
+        assert _os.path.isdir(d)
+        total += spark.read.json(d).count()
+    assert total == 100
+
+    # --- slimpajama dedup processor -----------------------------------------
+    src3 = tmp_path / "dc.jsonl"
+    docs = [
+        {"findings": "the quick brown fox jumps over the lazy dog " * 3 + "v1"},
+        {"findings": "the quick brown fox jumps over the lazy dog " * 3 + "v2"},  # near-dup
+        {"findings": "completely different clinical findings text entirely"},
+        {"findings": "x"},  # below low_length_filter
+    ]
+    src3.write_text("\n".join(json.dumps(d) for d in docs))
+    cfg4 = {
+        "data_path_or_name": str(src3),
+        "target_text_cols": ["findings"],
+        "n_gram": 7,
+        "minhash_permutation_num": 128,
+        "lsh_threshold": 0.6,
+        "most_dup": 0,
+        "low_length_filter": {"findings": 2},
+        "output_path": str(tmp_path / "dc_out.jsonl"),
+    }
+    p4 = tmp_path / "dc.json"
+    p4.write_text(json.dumps(cfg4))
+    out4 = run_etl_dedup_config(spark, str(p4))
+    texts = [r["findings"] for r in out4.collect()]
+    assert len(texts) == 2  # short doc filtered, one of the near-dup pair removed
+    assert any(t.startswith("completely different") for t in texts)
+    assert sum(t.startswith("the quick brown fox") for t in texts) == 1
+
+    import pytest
+
+    cfg5 = dict(cfg4, most_dup=2)
+    p5 = tmp_path / "dc2.json"
+    p5.write_text(json.dumps(cfg5))
+    with pytest.raises(NotImplementedError):
+        run_etl_dedup_config(spark, str(p5))
