@@ -281,3 +281,57 @@ def run_etl_dedup_config(
     df = df.drop(id_col)
     write_jsonl(df, cfg["output_path"], mode="overwrite")
     return df
+
+
+def run_agentic_config(
+    spark: SparkSession,
+    config_path: str,
+    df: DataFrame | None = None,
+    llms: dict[str, LlmClient] | None = None,
+    scope_cols: tuple[str, ...] = ("request",),
+) -> DataFrame:
+    """Drop-in twin of the agentic-MR PoC (``apps/poc-agentic-mr/
+    agentic_mr.py``): the config's ``demo.instructions`` (name / content /
+    task) become Instructions, ``demo.agents`` wires each task to its LLM
+    (resolved from the ``llms`` section by model name, or the ``llms``
+    override), and :func:`plans.agentic.agentic_map` fans the instructions
+    out per task kernel, merging per-record ``agent_results``.
+
+    The reference PoC has no input records (each instruction IS the
+    workload); with ``df=None`` a single marker record is used, so each
+    instruction produces one completion — pass a real frame plus
+    ``scope_cols`` to run the same agent graph over data. The config's
+    ``langchain``/LangSmith tracing block has no engine analog: lineage
+    here is the ChatML columns and the content-addressed session ids."""
+    from instructionspipe_spark.plans.agentic import agentic_map
+    from instructionspipe_spark.plans.compiler import run_stage
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    demo = cfg["demo"]
+    instructions = tuple(
+        Pipeline.from_dict({"pipe": [[
+            dict(i, scope=list(scope_cols)) for i in demo["instructions"]
+        ]]}).stages[0]
+    )
+    task_of = {i["name"]: i.get("task", "default") for i in demo["instructions"]}
+    clients = llms or llms_from_config(cfg.get("llms") or [])
+    agents = demo.get("agents") or {}
+
+    def kernel_for(task: str):
+        model = (agents.get(task) or {}).get("llm")
+        task_llm = clients.get(model) if model else None
+        if task_llm is None:  # unconfigured agent: first client, like llms_init
+            task_llm = next(iter(clients.values()))
+        return lambda d, instrs, _llm, __llm=task_llm: run_stage(d, instrs, __llm)
+
+    kernels = {t: kernel_for(t) for t in agents}
+    if df is None:
+        df = spark.createDataFrame([("go",)], list(scope_cols))
+    return agentic_map(
+        df,
+        instructions,
+        next(iter(clients.values())),
+        kernels=kernels,
+        task_of=lambda i: task_of.get(i.name, "default"),
+    )

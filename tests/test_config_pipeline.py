@@ -377,3 +377,38 @@ def test_run_etl_configs_cli_twins(spark, tmp_path):
     p5.write_text(json.dumps(cfg5))
     with pytest.raises(NotImplementedError):
         run_etl_dedup_config(spark, str(p5))
+
+
+def test_run_agentic_config_cli_twin(spark, tmp_path):
+    """plans/runner.py run_agentic_config over the agentic-MR PoC's config
+    shape (demo.instructions with task routing + demo.agents): each
+    instruction completes through its task's agent; with no input frame a
+    single marker record stands in for the reference's record-free PoC."""
+    from instructionspipe_spark.plans.llm_kernel import MockLlm
+    from instructionspipe_spark.plans.runner import run_agentic_config
+
+    cfg = {
+        "langchain": {"langsmith_tracing": True},
+        "llms": [{"model": "m-default", "api_url": "http://0.0.0.0:1/v1"}],
+        "demo": {
+            "instructions": [
+                {"name": "tell story", "content": "tell me a story.", "task": "content_gen"},
+                {"name": "one plus one", "content": "1 + 1", "task": "basic_math"},
+            ],
+            "agents": {
+                "content_gen": {"llm": "gen-model"},
+                "basic_math": {"llm": "math-model"},
+            },
+        },
+    }
+    p = tmp_path / "agentic.json"
+    p.write_text(json.dumps(cfg))
+    llms = {"gen-model": MockLlm("gen-model"), "math-model": MockLlm("math-model")}
+    out = run_agentic_config(spark, str(p), llms=llms)
+    row = out.first()
+    results = row["agent_results"]
+    assert set(results) == {"tell story", "one plus one"}
+    # task routing is observable: same user message, different model hashes
+    assert results["tell story"] != results["one plus one"]
+    # rerun reproduces exactly (deterministic agents)
+    assert run_agentic_config(spark, str(p), llms=llms).first()["agent_results"] == results
