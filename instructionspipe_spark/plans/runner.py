@@ -335,3 +335,61 @@ def run_agentic_config(
         kernels=kernels,
         task_of=lambda i: task_of.get(i.name, "default"),
     )
+
+
+def run_cost_config(
+    spark: SparkSession, config_path: str, token_counter=None, schema=None
+) -> DataFrame:
+    """Drop-in twin of ``apps/cost_estimator_inf.py``: the SAME config
+    (tokenizer, in_data_path, encoding_cols, io_length_ratio,
+    max_sample_size, inf_sample_size, per-1M prices) estimates inference
+    cost from a sample. Encoding text per row mirrors the reference's
+    extraction exactly — string columns verbatim; ChatML-array columns as
+    ``role:\\ncontent`` turns WITHOUT the last turn (the assistant slot
+    being priced, ``cost_estimator_inf.py:27-30``); columns joined by
+    blank lines. ``token_counter`` maps a text Column to a token count —
+    default is the engine's expression token heuristic
+    (``operators.token_count``); pass
+    ``textstats.token_count_hf(tokenizer_factory=...)``-style counters
+    for exact HF tokenization. Returns the 1-row estimate frame."""
+    from instructionspipe_spark.operators import token_count
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    token_counter = token_counter or token_count
+    df = read_jsonl(spark, cfg["in_data_path"], schema=schema)
+    if cfg.get("max_sample_size"):
+        df = df.limit(int(cfg["max_sample_size"]))
+
+    parts = []
+    for col in cfg["encoding_cols"]:
+        if col not in df.columns:
+            continue
+        dt = df.schema[col].dataType.simpleString()
+        if dt.startswith("array"):
+            turns = F.slice(F.col(col), 1, F.greatest(F.size(F.col(col)) - 1, F.lit(0)))
+            parts.append(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        turns,
+                        lambda t: F.concat(t["role"], F.lit(":\n"), t["content"], F.lit("\n\n")),
+                    ),
+                )
+            )
+        else:
+            parts.append(F.coalesce(F.col(col).cast("string"), F.lit("")))
+    text = F.regexp_replace(
+        F.regexp_replace(F.concat_ws("\n\n", *parts), r"\n+$", ""), r"^\n+", ""
+    )
+    toks = df.select(token_counter(text).cast("double").alias("__n"))
+
+    ratio = float(cfg["io_length_ratio"])
+    n_inf = float(cfg["inf_sample_size"])
+    enc_p, dec_p = float(cfg["encoding_price_per_1m"]), float(cfg["decoding_price_per_1m"])
+    return toks.agg(
+        F.avg("__n").alias("avg_encoding_tokens"),
+        (F.avg("__n") * ratio).alias("avg_decoding_tokens"),
+        (F.lit(n_inf) * F.avg("__n") / F.lit(1e6) * F.lit(enc_p)).alias("estimated_encoding_cost"),
+        (F.lit(n_inf) * F.avg("__n") * ratio / F.lit(1e6) * F.lit(dec_p)).alias("estimated_decoding_cost"),
+    )

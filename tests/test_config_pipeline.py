@@ -412,3 +412,67 @@ def test_run_agentic_config_cli_twin(spark, tmp_path):
     assert results["tell story"] != results["one plus one"]
     # rerun reproduces exactly (deterministic agents)
     assert run_agentic_config(spark, str(p), llms=llms).first()["agent_results"] == results
+
+
+def test_run_cost_config_cli_twin(spark, tmp_path):
+    """plans/runner.py run_cost_config over the reference cost-estimator
+    config shape: string + ChatML-array encoding columns (last turn
+    dropped, reference cost_estimator_inf.py:27-30), sample cap, and the
+    avg-tokens -> scaled-price arithmetic."""
+    from instructionspipe_spark.plans.runner import run_cost_config
+
+    src = tmp_path / "cases.jsonl"
+    src.write_text(
+        json.dumps({
+            "context": "four words of context",
+            "chatmls": [
+                {"role": "system", "content": "be brief"},
+                {"role": "user", "content": "hello there"},
+                {"role": "assistant", "content": "DROPPED LAST TURN"},
+            ],
+        }) + "\n" +
+        json.dumps({"context": "two words", "chatmls": []}) + "\n"
+    )
+    cfg = {
+        "tokenizer": "whatever/unused-by-expression-counter",
+        "in_data_path": str(src),
+        "encoding_cols": ["context", "chatmls"],
+        "io_length_ratio": 0.7,
+        "max_sample_size": 500,
+        "inf_sample_size": 20000,
+        "encoding_price_per_1m": 0.15,
+        "decoding_price_per_1m": 0.60,
+    }
+    p = tmp_path / "cost.json"
+    p.write_text(json.dumps(cfg))
+    row = run_cost_config(spark, str(p)).first()
+    assert row["avg_encoding_tokens"] > 0
+    assert abs(row["avg_decoding_tokens"] - 0.7 * row["avg_encoding_tokens"]) < 1e-9
+    assert abs(
+        row["estimated_encoding_cost"]
+        - 20000 * row["avg_encoding_tokens"] / 1e6 * 0.15
+    ) < 1e-9
+    assert abs(
+        row["estimated_decoding_cost"]
+        - 20000 * row["avg_decoding_tokens"] / 1e6 * 0.60
+    ) < 1e-9
+
+    # the dropped last ChatML turn is genuinely excluded: pricing with an
+    # extra assistant turn appended must NOT change the token count
+    src2 = tmp_path / "cases2.jsonl"
+    src2.write_text(
+        json.dumps({
+            "context": "four words of context",
+            "chatmls": [
+                {"role": "system", "content": "be brief"},
+                {"role": "user", "content": "hello there"},
+                {"role": "assistant", "content": "A DIFFERENT, MUCH LONGER FINAL TURN ENTIRELY"},
+            ],
+        }) + "\n" +
+        json.dumps({"context": "two words", "chatmls": []}) + "\n"
+    )
+    cfg2 = dict(cfg, in_data_path=str(src2))
+    p2 = tmp_path / "cost2.json"
+    p2.write_text(json.dumps(cfg2))
+    row2 = run_cost_config(spark, str(p2)).first()
+    assert row2["avg_encoding_tokens"] == row["avg_encoding_tokens"]
