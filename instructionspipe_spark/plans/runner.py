@@ -249,9 +249,12 @@ def run_etl_dedup_config(
     near-dedup at ``lsh_threshold`` with ``minhash_permutation_num``
     permutations (char ``n_gram`` shingles, like the reference's
     CountVectorizer char analyzer; bands = num_perm/8 rows-per-band). The
-    reference's insertion-order survivor becomes the deterministic
-    smallest-id survivor (a synthetic ``__row_id`` if no id column
-    exists). ``most_dup > 0`` (accept up to N duplications) is not
+    reference's insertion-order survivor maps to smallest synthetic
+    ``__row_id`` — ``monotonically_increasing_id`` follows file/partition
+    order, i.e. the same file-order semantics as the reference (stable for
+    a fixed input layout; pass data with a real id column through
+    ``operators.dedup`` directly when you need layout-independent
+    survivors). ``most_dup > 0`` (accept up to N duplications) is not
     implemented — the shipped config uses 0, and the generalization needs
     per-doc dup counting (see operators/dedup.py ngram_jaccard_pairs)."""
     from instructionspipe_spark.operators.dedup import minhash_lsh_dedup
