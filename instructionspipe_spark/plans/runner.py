@@ -396,3 +396,62 @@ def run_cost_config(
         (F.lit(n_inf) * F.avg("__n") / F.lit(1e6) * F.lit(enc_p)).alias("estimated_encoding_cost"),
         (F.lit(n_inf) * F.avg("__n") * ratio / F.lit(1e6) * F.lit(dec_p)).alias("estimated_decoding_cost"),
     )
+
+
+def run_example2template_config(
+    spark: SparkSession,
+    config_path: str,
+    llm: LlmClient | None = None,
+    pdf_fn=None,
+) -> DataFrame:
+    """Drop-in twin of the instruction-generation PoC
+    (``apps/poc-instruction-gen/run_example2template.py``): the config's
+    ``in_data_path`` PDF is rendered to per-page images
+    (``operators.multimodal.pdf_to_page_images`` — pypdfium2 when present,
+    else pass ``pdf_fn``), each page runs a pdf->markdown instruction
+    (the reference's ``agent_pdf2md``), pages reassemble into one document
+    in page order, and a plan-generation instruction produces the
+    instruction template from it (``agent_plan_gen``). Returns one row per
+    source PDF: ``(path, doc_md, template)``.
+
+    The reference posts page images to a MULTIMODAL chat model; this twin
+    scopes the base64 page into the prompt through the standard compiler
+    seam — swap ``llm`` for a vision-capable client and the same plan
+    carries the payload. The config's LangSmith block has no engine analog."""
+    from instructionspipe_spark.operators.multimodal import pdf_to_page_images
+    from instructionspipe_spark.plans.compiler import run_stage
+    from instructionspipe_spark.plans.instructions import Instruction
+    from instructionspipe_spark.plans.llm_kernel import MockLlm
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    if llm is None:
+        clients = llms_from_config(cfg.get("llms") or [])
+        llm = next(iter(clients.values())) if clients else MockLlm()
+
+    pdfs = spark.read.format("binaryFile").load(cfg["in_data_path"]).select(
+        "path", "content"
+    )
+    pages = pdf_to_page_images(pdfs, "content", pdf_fn=pdf_fn)
+    pages = pages.withColumn("page_b64", F.base64(F.col("content")))
+    pdf2md = Instruction(
+        name="page_md",
+        scope=("page_b64",),
+        role="document transcriber",
+        content="Convert this report page image to markdown.",
+        output_fmt="markdown",
+    )
+    with_md = run_stage(pages, (pdf2md,), llm)
+    docs = with_md.groupBy("path").agg(
+        F.concat_ws(
+            "\n\n", F.array_sort(F.collect_list(F.struct("page_index", "page_md"))).page_md
+        ).alias("doc_md")
+    )
+    plan_gen = Instruction(
+        name="template",
+        scope=("doc_md",),
+        role="instruction designer",
+        content="Generate a reusable instruction template from this example report.",
+        output_fmt="json",
+    )
+    return run_stage(docs, (plan_gen,), llm).select("path", "doc_md", "template")

@@ -476,3 +476,42 @@ def test_run_cost_config_cli_twin(spark, tmp_path):
     p2.write_text(json.dumps(cfg2))
     row2 = run_cost_config(spark, str(p2)).first()
     assert row2["avg_encoding_tokens"] == row["avg_encoding_tokens"]
+
+
+def test_run_example2template_config_cli_twin(spark, tmp_path):
+    """plans/runner.py run_example2template_config over the PoC's config
+    shape: PDF binary -> per-page render (injected fake) -> per-page
+    pdf2md instruction -> page-ordered reassembly -> plan-gen template.
+    Deterministic under MockLlm; page order is pinned by the sort."""
+    from instructionspipe_spark.plans.llm_kernel import MockLlm
+    from instructionspipe_spark.plans.runner import run_example2template_config
+
+    pdf = tmp_path / "example.pdf"
+    pdf.write_bytes(b"%PDF-fake-report")
+    cfg = {
+        "in_data_path": str(pdf),
+        "workspace": str(tmp_path / "ws"),
+        "langchain": {"langsmith_tracing": False},
+        "llms": [],
+    }
+    p = tmp_path / "e2t.json"
+    p.write_text(json.dumps(cfg))
+
+    def fake_pdf(data: bytes, dpi: int):
+        return [data + b"-page0", data + b"-page1", data + b"-page2"]
+
+    out = run_example2template_config(
+        spark, str(p), llm=MockLlm(), pdf_fn=fake_pdf
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    # three pages transcribed, reassembled in page order (md5 hashes differ
+    # per page, joined by blank lines)
+    assert row["doc_md"].count("\n\n") == 2
+    assert len(set(row["doc_md"].split("\n\n"))) == 3
+    assert row["template"] is not None
+    # deterministic rerun
+    again = run_example2template_config(
+        spark, str(p), llm=MockLlm(), pdf_fn=fake_pdf
+    ).first()
+    assert again["doc_md"] == row["doc_md"] and again["template"] == row["template"]
