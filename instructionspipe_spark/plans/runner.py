@@ -455,3 +455,39 @@ def run_example2template_config(
         output_fmt="json",
     )
     return run_stage(docs, (plan_gen,), llm).select("path", "doc_md", "template")
+
+
+def run_tableqa_config(
+    spark: SparkSession,
+    config_path: str,
+    code_fn=None,
+    run_fn=None,
+    schema=None,
+) -> DataFrame:
+    """Drop-in twin of the TableQA CodeAct PoC's OFFLINE mode
+    (``apps/poc-codaact-tableqa/tableqa_codeact.py`` + its config's
+    ``inf_offline`` block): ``in_data_path`` rows carry a table/context
+    column (``in_text_col``) and a question (``instruction_col``); each
+    runs the CodeAct write-code / observe / retry loop
+    (``plans/codeact.py::codeact_qa``) and the answers append-write to
+    ``out_data_path``. ``code_fn`` maps the ChatML history to the next
+    code attempt (an LLM client in production, a deterministic stub in
+    tests); ``run_fn`` overrides the subprocess sandbox (which is
+    feature-flagged off the data plane: ``SPARK_GRAFT_ENABLE_CODEACT=1``).
+    The config's ``serving_http`` block maps to ``serving.py`` (same
+    compiled plan behind HTTP); LangSmith has no engine analog."""
+    from instructionspipe_spark.plans.codeact import codeact_qa
+
+    with open(config_path) as f:
+        cfg = json.load(f)
+    off = cfg["inf_offline"]
+    df = read_jsonl(spark, off["in_data_path"], schema=schema)
+    out = codeact_qa(
+        df,
+        question_col=off["instruction_col"],
+        context_col=off["in_text_col"],
+        code_fn=code_fn,
+        run_fn=run_fn,
+    )
+    write_jsonl(out, off["out_data_path"], mode="append")
+    return out

@@ -515,3 +515,40 @@ def test_run_example2template_config_cli_twin(spark, tmp_path):
         spark, str(p), llm=MockLlm(), pdf_fn=fake_pdf
     ).first()
     assert again["doc_md"] == row["doc_md"] and again["template"] == row["template"]
+
+
+def test_run_tableqa_config_cli_twin(spark, tmp_path):
+    """plans/runner.py run_tableqa_config over the TableQA PoC's
+    inf_offline config block: context + question columns through the
+    CodeAct loop kernel (deterministic stub code_fn/run_fn — the real
+    sandbox stays feature-flagged), answers appended to out_data_path."""
+    from instructionspipe_spark.plans.runner import run_tableqa_config
+
+    src = tmp_path / "vitals.jsonl"
+    src.write_text(
+        '{"id": 1, "vitals_note": "hr 60 bp 120/80", "query_task": "max hr?"}\n'
+        '{"id": 2, "vitals_note": "hr 90 bp 130/85", "query_task": "min bp?"}\n'
+    )
+    cfg = {
+        "llms": [],
+        "inf_offline": {
+            "in_data_path": str(src),
+            "out_data_path": str(tmp_path / "state.jsonl"),
+            "in_text_col": "vitals_note",
+            "instruction_col": "query_task",
+            "model": "stub",
+        },
+        "serving_http": {"port": 0},
+    }
+    p = tmp_path / "tqa.json"
+    p.write_text(json.dumps(cfg))
+    out = run_tableqa_config(
+        spark, str(p),
+        code_fn=lambda msgs: "answer: " + msgs[1]["content"].split("?")[0].split("\n")[-1],
+        run_fn=lambda code: "",
+    )
+    got = {r["id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert all(r["answer"].startswith("answer: ") and r["rounds"] == 1 for r in got.values())
+    back = spark.read.json(cfg["inf_offline"]["out_data_path"])
+    assert back.count() == 2 and "answer" in back.columns
