@@ -76,9 +76,23 @@ def load_pipeline(path: str) -> Pipeline:
         d = json.load(f)
     if isinstance(d.get("pipe"), str):
         ref = d["pipe"]
-        candidate = ref if os.path.exists(ref) else os.path.join(
-            os.path.dirname(os.path.abspath(path)), os.path.basename(ref)
+        cfg_dir = os.path.dirname(os.path.abspath(path))
+        # Resolution order: CWD (the reference's behavior), then the FULL
+        # relative path against the config's own directory (so
+        # "pipes/instr.json" finds config_dir/pipes/instr.json), then the
+        # bare basename as a last resort for configs shipped flat next to
+        # their instruction file.
+        candidates = (
+            ref,
+            os.path.join(cfg_dir, ref),
+            os.path.join(cfg_dir, os.path.basename(ref)),
         )
+        candidate = next((c for c in candidates if os.path.exists(c)), None)
+        if candidate is None:
+            raise FileNotFoundError(
+                f"pipe config {ref!r} not found (tried CWD, {cfg_dir!r} "
+                f"relative, and basename fallback)"
+            )
         with open(candidate) as f:
             d = dict(d, pipe=json.load(f))
     return Pipeline.from_dict(d)

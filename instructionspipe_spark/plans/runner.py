@@ -39,12 +39,15 @@ def llms_from_config(configs: list[dict]) -> dict[str, LlmClient]:
     (``instructions_runners.py:83-86``)."""
     out: dict[str, LlmClient] = {}
     for c in configs:
+        # None-checks, not `or`: explicit falsy values (top_p=0, seed=0,
+        # temperature=0) must pass through verbatim like the reference's
+        # llms_init does; `or` would silently replace them with defaults.
         out[c["model"]] = OpenAiLlm(
             model=c["model"],
             base_url=(c.get("api_url") or None),
-            temperature=float(c.get("temperature") or 0.0),
-            top_p=float(c.get("top_p") or 0.01),
-            seed=int(c.get("seed") or 2),
+            temperature=float(c["temperature"]) if c.get("temperature") is not None else 0.0,
+            top_p=float(c["top_p"]) if c.get("top_p") is not None else 0.01,
+            seed=int(c["seed"]) if c.get("seed") is not None else 2,
         )
     return out
 
@@ -64,6 +67,11 @@ def run_config(
     with open(config_path) as f:
         cfg = json.load(f)
     pipe: Pipeline = load_pipeline(config_path)
+    if not any(pipe.stages) or not pipe.stages:
+        raise ValueError(
+            f"config {config_path!r} compiled to a zero-instruction pipe — "
+            "nothing to run (and no ChatML sidecar rows to write)"
+        )
     out_path = cfg["out_data_path"]
     chatml_path = cfg["chatml_path"]
     meta_path = chatml_path + ".meta.jsonl"
@@ -319,6 +327,16 @@ def run_agentic_config(
     )
     task_of = {i["name"]: i.get("task", "default") for i in demo["instructions"]}
     clients = llms or llms_from_config(cfg.get("llms") or [])
+    if not clients:
+        raise ValueError(
+            f"config {config_path!r} has no 'llms' section and no llms= "
+            "override was passed — at least one client is required to run "
+            "the agent graph"
+        )
+    if not demo.get("instructions"):
+        raise ValueError(
+            f"config {config_path!r} has an empty 'demo.instructions' list"
+        )
     agents = demo.get("agents") or {}
 
     def kernel_for(task: str):

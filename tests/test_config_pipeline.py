@@ -552,3 +552,74 @@ def test_run_tableqa_config_cli_twin(spark, tmp_path):
     assert all(r["answer"].startswith("answer: ") and r["rounds"] == 1 for r in got.values())
     back = spark.read.json(cfg["inf_offline"]["out_data_path"])
     assert back.count() == 2 and "answer" in back.columns
+
+
+def test_llms_from_config_honors_explicit_falsy_values():
+    """ADVICE r7: explicit top_p=0 / seed=0 / temperature=0 must pass
+    through verbatim (the reference's llms_init does not default them)."""
+    from instructionspipe_spark.plans.runner import llms_from_config
+
+    clients = llms_from_config(
+        [{"model": "m0", "temperature": 0, "top_p": 0, "seed": 0}]
+    )
+    c = clients["m0"]
+    assert c.temperature == 0.0 and c.top_p == 0.0 and c.seed == 0
+    # absent keys still get the documented defaults
+    d = llms_from_config([{"model": "m1"}])["m1"]
+    assert d.top_p == 0.01 and d.seed == 2
+
+
+def test_load_pipeline_subdir_string_pipe(tmp_path):
+    """ADVICE r7: a string pipe path WITH a subdirectory must resolve
+    against the config's own directory using the full relative path —
+    and must not silently load a same-named sibling file."""
+    cdir = tmp_path / "cfg"
+    (cdir / "pipes").mkdir(parents=True)
+    stage = [[{"name": "kw", "scope": ["notes"], "content": "List keywords."}]]
+    (cdir / "pipes" / "instr.json").write_text(json.dumps(stage))
+    # decoy sibling with the same basename but different content
+    (cdir / "instr.json").write_text(
+        json.dumps([[{"name": "decoy", "scope": ["notes"], "content": "x"}]])
+    )
+    cfg = cdir / "main.json"
+    cfg.write_text(json.dumps({"pipe": "pipes/instr.json"}))
+    pipe = load_pipeline(str(cfg))
+    assert pipe.stages[0][0].name == "kw"
+
+    # missing path raises a descriptive error instead of loading the decoy
+    import pytest
+
+    cfg2 = cdir / "main2.json"
+    cfg2.write_text(json.dumps({"pipe": "pipes/nope.json"}))
+    with pytest.raises(FileNotFoundError, match="nope.json"):
+        load_pipeline(str(cfg2))
+
+
+def test_runner_validation_errors(spark, tmp_path):
+    """ADVICE r7: descriptive ValueErrors instead of StopIteration /
+    write_jsonl(None) crashes for degenerate configs."""
+    import pytest
+
+    from instructionspipe_spark.plans.runner import run_agentic_config, run_config
+
+    agentic = tmp_path / "agentic.json"
+    agentic.write_text(
+        json.dumps({"demo": {"instructions": [{"name": "a", "scope": ["request"], "content": "x"}], "agents": {}}})
+    )
+    with pytest.raises(ValueError, match="llms"):
+        run_agentic_config(spark, str(agentic))
+
+    empty_pipe = tmp_path / "empty_pipe.json"
+    empty_pipe.write_text(
+        json.dumps(
+            {
+                "pipe": [],
+                "in_data_path": str(tmp_path / "in.jsonl"),
+                "out_data_path": str(tmp_path / "out.jsonl"),
+                "chatml_path": str(tmp_path / "chatml.jsonl"),
+                "llms": [],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="zero-instruction"):
+        run_config(spark, str(empty_pipe), llm=MockLlm())
