@@ -20,8 +20,6 @@ no skew by construction.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -29,6 +27,31 @@ from pyspark.sql import types as T
 CACHE_SCHEMA = T.StructType(
     [T.StructField("cache_key", T.StringType()), T.StructField("completion", T.StringType())]
 )
+
+
+def _list_cache_files(spark: SparkSession, cache_path: str) -> list[str]:
+    """Enumerate the cache table's part files through Spark's Hadoop
+    FileSystem API, so any URI Spark can write (``file:``, ``hdfs://``,
+    ``s3a://`` — the ``CachedLlm(..., "s3://bucket/llm_cache")`` form
+    MIGRATION.md advertises) lists correctly; a bare ``os.listdir`` would
+    silently see object-store caches as empty-but-writable, recomputing
+    every completion. Returns fully-qualified paths, sorted for a
+    deterministic scan identity.
+
+    On stores with non-atomic listing, a concurrent appender may be missed
+    by one read — benign for this table: it is append-only with a
+    deterministic min tie-break on read, so a missed file only means a few
+    recomputed (identical) completions."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(cache_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    return sorted(
+        s.getPath().toString()
+        for s in fs.listStatus(path)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    )
 
 
 def _read_cache(spark: SparkSession, cache_path: str) -> DataFrame:
@@ -45,19 +68,14 @@ def _read_cache(spark: SparkSession, cache_path: str) -> DataFrame:
     Caught by the streaming_llm_cache_equiv oracle, round 7. Enumerating
     the part files makes each read's identity its actual listing, so only
     genuinely identical listings reuse."""
-    if os.path.exists(cache_path):
-        files = sorted(
-            os.path.join(cache_path, f)
-            for f in os.listdir(cache_path)
-            if f.endswith(".parquet")
-        )
-        if files:
-            df = spark.read.schema(CACHE_SCHEMA).parquet(*files)
-            # Append-only table: concurrent writers may duplicate keys; the
-            # read side resolves deterministically (completions for a key
-            # are identical by construction, min is a tie-break not a
-            # choice).
-            return df.groupBy("cache_key").agg(F.min("completion").alias("completion"))
+    files = _list_cache_files(spark, cache_path)
+    if files:
+        df = spark.read.schema(CACHE_SCHEMA).parquet(*files)
+        # Append-only table: concurrent writers may duplicate keys; the
+        # read side resolves deterministically (completions for a key
+        # are identical by construction, min is a tie-break not a
+        # choice).
+        return df.groupBy("cache_key").agg(F.min("completion").alias("completion"))
     return spark.createDataFrame([], CACHE_SCHEMA)
 
 

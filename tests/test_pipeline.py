@@ -262,3 +262,27 @@ def test_cached_llm_multi_instruction_pipeline(spark, tmp_path):
         .collect()
     )
     assert rerun == plain
+
+
+def test_cache_table_uri_path(spark, tmp_path):
+    """VERDICT r7 #7: the cache listing goes through the Hadoop FileSystem
+    API, so a URI cache path (``file:///...`` here, standing in for the
+    s3a://hdfs:// forms MIGRATION.md advertises) both WRITES and READS —
+    os.listdir would have seen it as an always-empty, write-only cache."""
+    from instructionspipe_spark.plans.cache import _list_cache_files, cached_llm_call
+
+    cache_uri = "file://" + str(tmp_path / "uri_cache")
+    df = spark.createDataFrame([(i, f"p{i % 3}") for i in range(9)], ["id", "p"])
+    out1 = cached_llm_call(df, "p", "ans", MockLlm(), cache_path=cache_uri)
+    got = {r["id"]: r["ans"] for r in out1.collect()}
+    assert got[0] == _mock_md5("p0") and len(set(got.values())) == 3
+    # the listing resolves through the FS API: fully-qualified part files
+    files = _list_cache_files(spark, cache_uri)
+    assert files and all(f.startswith("file:") and f.endswith(".parquet") for f in files)
+    # second run is a pure cache hit: same answers, still exactly 3 keys
+    # (the 0-row misses append may add an EMPTY part file; that's fine)
+    out2 = cached_llm_call(df, "p", "ans", MockLlm(), cache_path=cache_uri)
+    assert {r["id"]: r["ans"] for r in out2.collect()} == got
+    assert set(files) <= set(_list_cache_files(spark, cache_uri))
+    cached = spark.read.parquet(cache_uri)
+    assert cached.select("cache_key").distinct().count() == 3
