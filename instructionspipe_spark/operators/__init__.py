@@ -20,6 +20,7 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     multi_key_dedup,
     minhash_signature,
     minhash_lsh_dedup,
+    minhash_lsh_dedup_most_dup,
     simhash,
     simhash_band_buckets,
     simhash_dedup,

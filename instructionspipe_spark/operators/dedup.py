@@ -48,6 +48,7 @@ import numpy as np
 import pandas as pd  # module-level: pandas_udf type hints must resolve `pd`
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from instructionspipe_spark.functions.text import char_ngrams, shingle_normalize
 from instructionspipe_spark.functions.vectors import cosine_similarity
@@ -472,6 +473,141 @@ def minhash_lsh_dedup(
         pairs = pairs.join(nrm_a, "id_a").join(nrm_b, "id_b").filter(verify).select("id_a", "id_b")
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def _lsh_greedy_filter(
+    membership: DataFrame, most_dup: int, id_type, max_iter: int = 50
+) -> DataFrame:
+    """Losers of the reference's sequential LSH-index greedy
+    (``etl_slimpajama_dc_proc.py:147-158``) over a ``(__id, __bucket)``
+    membership frame: processing ids ASCENDING, a doc is dropped when more
+    than ``most_dup`` previously-KEPT docs share >= 1 bucket with it;
+    kept docs are inserted into the index, dropped docs are not.
+
+    Distribution strategy: decisions only interact within a connected
+    component of the bucket-sharing graph, so components run in parallel
+    and only the (bounded, near-dup-sized) component itself is sequential.
+    Components come from min-label propagation over the bucket-STAR edges
+    (member <-> bucket-min representative — linear in membership, same
+    connectivity as the all-pairs graph, no quadratic pair
+    materialization); each iteration is one join + map-side-combined min,
+    ``localCheckpoint``-pinned so the loop's lineage stays flat (use a
+    checkpoint dir on a real cluster). Iterations are bounded by component
+    diameter — near-dup clusters are bucket-stars, so 2-3 in practice.
+
+    Returns a 1-column frame ``__loser`` of dropped ids."""
+    membership = membership.select("__id", "__bucket").distinct()
+    reps = membership.groupBy("__bucket").agg(
+        F.min("__id").alias("__rep"), F.count(F.lit(1)).alias("__n")
+    )
+    # singleton buckets contribute no neighbors: drop them before anything
+    mem = membership.join(
+        reps.filter(F.col("__n") >= 2).select("__bucket", "__rep"), "__bucket"
+    )
+    from instructionspipe_spark.session import managed_persist
+
+    mem = managed_persist(mem)
+    star = mem.filter(F.col("__id") != F.col("__rep")).select("__rep", "__id")
+    edges = star.select(F.col("__rep").alias("a"), F.col("__id").alias("b")).unionAll(
+        star.select(F.col("__id").alias("a"), F.col("__rep").alias("b"))
+    )
+    edges = managed_persist(edges.distinct())
+    labels = mem.select("__id").distinct().withColumn("__comp", F.col("__id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("__id").alias("b"), F.col("__comp").alias("__nc")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("__nc").alias("__nmin"))
+            .select(F.col("a").alias("__id"), "__nmin")
+        )
+        new_labels = labels.join(nbr_min, "__id", "left").select(
+            "__id",
+            F.least(F.col("__comp"), F.coalesce(F.col("__nmin"), F.col("__comp"))).alias(
+                "__comp"
+            ),
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.select("__id", F.col("__comp").alias("__old")), "__id"
+            )
+            .filter(F.col("__comp") != F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"component labeling did not converge in {max_iter} iterations "
+            "— pathological chain-shaped bucket graph; raise max_iter"
+        )
+
+    grouped = mem.select("__id", "__bucket").join(labels, "__id")
+    out_schema = T.StructType([T.StructField("__loser", id_type)])
+    K = int(most_dup)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        kept_by_bucket: dict = {}
+        dropped = []
+        for doc_id, grp in pdf.groupby("__id", sort=True):
+            nbrs: set = set()
+            buckets = grp["__bucket"].unique()
+            for b in buckets:
+                s = kept_by_bucket.get(b)
+                if s:
+                    nbrs.update(s)
+            if len(nbrs) <= K:
+                for b in buckets:
+                    kept_by_bucket.setdefault(b, set()).add(doc_id)
+            else:
+                dropped.append(doc_id)
+        return pd.DataFrame({"__loser": pd.Series(dropped, dtype=pdf["__id"].dtype)})
+
+    return grouped.groupBy("__comp").applyInPandas(greedy, schema=out_schema)
+
+
+def minhash_lsh_dedup_most_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    most_dup: int = 0,
+    num_perm: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    engine: str = "arrow",
+) -> DataFrame:
+    """MinHash-LSH near-dedup with the reference's ``most_dup`` knob
+    (``etl_slimpajama_dc_proc.py:147-158``): accept a doc while at most
+    ``most_dup`` previously-kept docs share an LSH bucket with it —
+    exact insertion-order greedy semantics under ascending ``id_col``
+    (the reference's file order; dropped docs never enter the index, so a
+    doc whose only matches were themselves dropped survives).
+
+    This is the faithful-semantics sibling of :func:`minhash_lsh_dedup`
+    (which uses order-free pair-drop semantics and optional exact-jaccard
+    verification): candidates here are banding-only, exactly like the
+    reference's ``MinHashLshManagement.query_with_n_grams``. Scale shape:
+    linear bucket membership (no pair materialization), per-component
+    sequential greedy via ``applyInPandas`` — component size is the bound,
+    and a boilerplate-heavy corpus should strip templates first (SCALE.md)
+    exactly as for every banded dedup here."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    sig = minhash_signature(F.col(text_col), num_perm=num_perm, ngram=ngram, engine=engine)
+    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    # __band_hash already folds the band index into the md5, so it IS the
+    # bucket key (same construction as the DuckDB oracle's bucket).
+    banded = _banded_frame(with_sig, bands, num_perm // bands).select(
+        "__id", F.col("__band_hash").alias("__bucket")
+    )
+    losers = _lsh_greedy_filter(banded, most_dup, df.schema[id_col].dataType)
+    return df.join(
+        losers.select(F.col("__loser").alias(id_col)), id_col, "left_anti"
+    )
 
 
 # ---------------------------------------------------------------------------

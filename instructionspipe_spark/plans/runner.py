@@ -262,18 +262,23 @@ def run_etl_dedup_config(
     order, i.e. the same file-order semantics as the reference (stable for
     a fixed input layout; pass data with a real id column through
     ``operators.dedup`` directly when you need layout-independent
-    survivors). ``most_dup > 0`` (accept up to N duplications) is not
-    implemented — the shipped config uses 0, and the generalization needs
-    per-doc dup counting (see operators/dedup.py ngram_jaccard_pairs)."""
-    from instructionspipe_spark.operators.dedup import minhash_lsh_dedup
+    survivors).
+
+    ``most_dup`` semantics (etl_slimpajama_dc_proc.py:147-158): with the
+    shipped ``most_dup=0`` the near-dedup is the order-free pair-drop +
+    jaccard-verified :func:`minhash_lsh_dedup`; with ``most_dup > 0`` it is
+    the faithful insertion-order greedy
+    :func:`minhash_lsh_dedup_most_dup` — accept a doc while at most N
+    previously-KEPT docs share an LSH bucket (banding-only candidates,
+    exactly the reference's ``query_with_n_grams``)."""
+    from instructionspipe_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_lsh_dedup_most_dup,
+    )
 
     with open(config_path) as f:
         cfg = json.load(f)
-    if int(cfg.get("most_dup") or 0) != 0:
-        raise NotImplementedError(
-            "most_dup > 0 needs per-doc duplicate counting; the shipped "
-            "reference config uses most_dup=0 (drop every near-duplicate)"
-        )
+    most_dup = int(cfg.get("most_dup") or 0)
     df = read_jsonl(spark, cfg["in_data_path"], schema=schema) if "in_data_path" in cfg \
         else read_jsonl(spark, cfg["data_path_or_name"], schema=schema)
     for col, min_len in (cfg.get("low_length_filter") or {}).items():
@@ -281,14 +286,20 @@ def run_etl_dedup_config(
     id_col = "__row_id"
     df = df.withColumn(id_col, F.monotonically_increasing_id())
     num_perm = int(cfg.get("minhash_permutation_num") or 128)
+    bands = max(1, num_perm // 8)
+    ngram = int(cfg.get("n_gram") or 3)
     for col in cfg.get("target_text_cols") or []:
-        df = minhash_lsh_dedup(
-            df, id_col, col,
-            num_perm=num_perm,
-            bands=max(1, num_perm // 8),
-            ngram=int(cfg.get("n_gram") or 3),
-            threshold=float(cfg.get("lsh_threshold") or 0.5),
-        )
+        if most_dup > 0:
+            df = minhash_lsh_dedup_most_dup(
+                df, id_col, col,
+                most_dup=most_dup, num_perm=num_perm, bands=bands, ngram=ngram,
+            )
+        else:
+            df = minhash_lsh_dedup(
+                df, id_col, col,
+                num_perm=num_perm, bands=bands, ngram=ngram,
+                threshold=float(cfg.get("lsh_threshold") or 0.5),
+            )
     df = df.drop(id_col)
     write_jsonl(df, cfg["output_path"], mode="overwrite")
     return df

@@ -749,6 +749,71 @@ def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _most_dup_oracle(num_perm: int = 16, bands: int = 4, most_dup: int = 1) -> str:
+    """Sequential twin of the reference's LSH-index greedy
+    (etl_slimpajama_dc_proc.py:147-158): ids ascending, a doc is dropped
+    when MORE than ``most_dup`` previously-KEPT docs share a bucket;
+    dropped docs never enter the index. The recursion walks node-by-node
+    over a MATERIALIZED per-node earlier-neighbor list (without the
+    materialization DuckDB re-evaluates the whole minhash chain per
+    step: 90 s -> 1 s)."""
+    rows_per_band = num_perm // bands
+    band_exprs = ", ".join(
+        f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
+        for b in range(bands)
+    )
+    return (
+        "WITH RECURSIVE" + _minhash_base_cte(num_perm) + f""",
+    banded AS (
+        SELECT doc_id, u.h AS bucket
+        FROM sig, UNNEST([{band_exprs}]) AS t(u)
+        WHERE __sig IS NOT NULL
+    ),
+    multi AS (SELECT bucket FROM banded GROUP BY bucket HAVING COUNT(*) >= 2),
+    mem AS (SELECT DISTINCT b.doc_id, b.bucket FROM banded b JOIN multi USING (bucket)),
+    adj AS (
+        SELECT m1.doc_id, list(DISTINCT m2.doc_id ORDER BY m2.doc_id) AS nbrs
+        FROM mem m1 JOIN mem m2 USING (bucket)
+        WHERE m2.doc_id < m1.doc_id
+        GROUP BY m1.doc_id
+    ),
+    nodes AS MATERIALIZED (
+        SELECT d.doc_id, COALESCE(a.nbrs, []) AS nbrs,
+               ROW_NUMBER() OVER (ORDER BY d.doc_id) AS rn
+        FROM (SELECT DISTINCT doc_id FROM mem) d LEFT JOIN adj a USING (doc_id)
+    ),
+    greedy AS (
+        SELECT 0 AS rn, CAST([] AS BIGINT[]) AS kept, CAST([] AS BIGINT[]) AS dropped
+        UNION ALL
+        SELECT n.rn,
+               CASE WHEN len(list_filter(n.nbrs, x -> list_contains(g.kept, x))) <= {most_dup}
+                    THEN list_append(g.kept, n.doc_id) ELSE g.kept END,
+               CASE WHEN len(list_filter(n.nbrs, x -> list_contains(g.kept, x))) <= {most_dup}
+                    THEN g.dropped ELSE list_append(g.dropped, n.doc_id) END
+        FROM greedy g JOIN nodes n ON n.rn = g.rn + 1
+    ),
+    final AS (SELECT dropped FROM greedy ORDER BY rn DESC LIMIT 1)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE NOT list_contains((SELECT dropped FROM final), d.doc_id)
+    """
+    )
+
+
+@query("lsh_dedup_most_dup", oracle=_most_dup_oracle())
+def lsh_dedup_most_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 faithful-order sibling (VERDICT r7 #3): the reference's
+    ``most_dup`` knob — keep a doc while at most 1 previously-kept doc
+    shares an LSH bucket, exact insertion-order greedy under ascending
+    doc_id, banding-only candidates like the reference's LSH query. The
+    Spark side parallelizes per connected component (applyInPandas) while
+    the oracle replays the literal sequential loop — hash equality proves
+    the component decomposition changes nothing."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.minhash_lsh_dedup_most_dup(
+        documents, "doc_id", "text", most_dup=1, num_perm=16, bands=4
+    ).select("doc_id", "lang")
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(__hashes, h -> ((h >> {b}) % 2) * 2 - 1)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"

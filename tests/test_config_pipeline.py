@@ -623,3 +623,33 @@ def test_runner_validation_errors(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="zero-instruction"):
         run_config(spark, str(empty_pipe), llm=MockLlm())
+
+
+def test_run_etl_dedup_config_most_dup(spark, tmp_path):
+    """VERDICT r7 #3 close-out: most_dup > 0 in the slimpajama twin —
+    a near-dup cluster of 3 keeps exactly most_dup+1 docs, and the
+    NotImplementedError is gone."""
+    from instructionspipe_spark.plans.runner import run_etl_dedup_config
+
+    a = "The quick brown fox jumps over the lazy dog near the river bank today"
+    c = "Completely different content about quantum computing and linear algebra"
+    src = tmp_path / "md.jsonl"
+    src.write_text("\n".join(json.dumps({"text": t}) for t in [a, a, a, c]))
+    cfg = {
+        "data_path_or_name": str(src),
+        "output_path": str(tmp_path / "md_out.jsonl"),
+        "target_text_cols": ["text"],
+        "low_length_filter": {"text": 3},
+        "lsh_threshold": 0.5,
+        "minhash_permutation_num": 16,
+        "n_gram": 3,
+        "most_dup": 1,
+        "debug": False,
+    }
+    p = tmp_path / "md.json"
+    p.write_text(json.dumps(cfg))
+    out = run_etl_dedup_config(spark, str(p))
+    texts = sorted(r["text"] for r in out.collect())
+    # one duplication tolerated: two copies of `a` survive, plus `c`
+    assert texts == sorted([a, a, c])
+    assert spark.read.json(cfg["output_path"]).count() == 3
