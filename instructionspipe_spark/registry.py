@@ -5438,3 +5438,178 @@ def streaming_stateful_counts_equiv(spark: SparkSession, sf_dir: str) -> DataFra
         stream, "skey", "event_type", "ts", watermark="35 days"
     )
     return run_stream_to_df(counts, "append")
+
+
+# ---------------------------------------------------------------------------
+# N35 config-runner family under the oracle (VERDICT r7 #1): the drop-in CLI
+# twins executed END-TO-END — config JSON -> runner -> JSONL sinks on disk ->
+# read back + lineage joins — hash-diffed against the same batch oracles the
+# underlying operators answer to. This closes the one operator family that
+# was pytest-only: what's being proven is the WIRING (sink round-trips,
+# session-id lineage, field mapping), the math is the already-gated ops.
+# ---------------------------------------------------------------------------
+
+
+def _jsonl_scratch(sf_dir: str, name: str, sql: str) -> str:
+    """Materialize a runner twin's JSONL input once per sf_dir (DuckDB NDJSON
+    COPY — idempotent via existence; bump the name tag when the SELECT
+    changes). Returns the file path."""
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    scratch = os.path.join(root, ".stream_scratch", sf_name)
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(scratch, name + ".jsonl")
+    if not os.path.exists(path):
+        con = duckdb.connect()
+        con.sql(f"COPY ({sql}) TO '{path}' (FORMAT JSON)")
+        con.close()
+    return path
+
+
+def _runner_run_dir(sf_dir: str, name: str) -> str:
+    """A per-build output dir for a runner twin, wiped every call so append
+    sinks replay from a clean slate."""
+    import shutil
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    run_dir = os.path.join(root, ".stream_scratch", sf_name, name + "_run")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    os.makedirs(run_dir, exist_ok=True)
+    return run_dir
+
+
+def _instruction_json(i: Instruction) -> dict:
+    d: dict = {"name": i.name, "scope": list(i.scope)}
+    for k in ("content", "role", "input_desc", "output_desc", "output_fmt", "model"):
+        v = getattr(i, k)
+        if v is not None:
+            d[k] = v
+    if i.examples:
+        d["examples"] = list(i.examples)
+    if i.knowledge:
+        d["knowledge"] = list(i.knowledge)
+    return d
+
+
+@query(
+    "run_config_pipeline",
+    oracle="SELECT o.*, CAST(3 AS BIGINT) AS n_chatml FROM (" + _MAPREDUCE_ORACLE + ") o",
+)
+def run_config_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inference-CLI drop-in (plans/runner.py::run_config, reference
+    apps/instructions-mapreduce/inf.py) end-to-end under the oracle: the
+    documents table round-trips through a JSONL input file, a config JSON
+    carrying DOC_PIPELINE inline, the runner's THREE sinks (results /
+    chatml / meta, inf.py:80-85), and back — doc_id is taken from the META
+    sidecar and the outputs from the RESULTS sink, joined on the
+    content-addressed session_id, so a broken sink write, lineage stamp, or
+    sidecar join diverges the hash; n_chatml counts the per-instruction
+    ChatML sidecar rows per session (one per instruction = 3)."""
+    import json as _json
+
+    from instructionspipe_spark.plans.runner import run_config
+
+    src = os.path.join(sf_dir, "documents.parquet").replace("'", "''")
+    in_path = _jsonl_scratch(
+        sf_dir, "runner_cfg_v1",
+        f"SELECT doc_id, text, lang FROM '{src}' ORDER BY doc_id",
+    )
+    run_dir = _runner_run_dir(sf_dir, "runner_cfg_v1")
+    out_path = os.path.join(run_dir, "out.jsonl")
+    chatml_path = os.path.join(run_dir, "chatml.jsonl")
+    cfg = {
+        "in_data_path": in_path,
+        "out_data_path": out_path,
+        "chatml_path": chatml_path,
+        "llms": [],
+        "pipe": [[_instruction_json(i) for i in st] for st in DOC_PIPELINE.stages],
+    }
+    cfg_path = os.path.join(run_dir, "config.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(cfg, f)
+    run_config(spark, cfg_path, llm=MockLlm())
+
+    results = spark.read.json(out_path)
+    meta = spark.read.json(chatml_path + ".meta.jsonl")
+    chatml = spark.read.json(chatml_path)
+    n = chatml.groupBy("session_id").agg(F.count(F.lit(1)).alias("n_chatml"))
+    return (
+        meta.select("doc_id", "session_id")
+        .join(results.select("session_id", "summary", "keywords", "report", "result"), "session_id")
+        .join(n, "session_id")
+        .drop("session_id")
+    )
+
+
+def _judge_cfg_metrics_oracle(models=("m1", "m2")) -> str:
+    p = (
+        "'## Instruction' || chr(10) || 'Summarize the document.' || chr(10) || chr(10) || "
+        "'## Source' || chr(10) || COALESCE(text, '') || chr(10) || chr(10) || "
+        "'## Generated' || chr(10) || COALESCE(lang, '')"
+    )
+    hit = "substr(md5('{m}:' || p), 1, 1) IN ('0','1','2','3','4','5','6','7')"
+    fact = " + ".join(f"(CASE WHEN {hit.format(m=m)} THEN 1.0 ELSE 0.0 END)" for m in models)
+    elig = " + ".join(f"(CASE WHEN {hit.format(m=m)} THEN 1.0 ELSE 0.25 END)" for m in models)
+    return f"""
+    WITH cases AS (SELECT lang AS name, {p} AS p FROM documents),
+    scored AS (
+        SELECT name,
+               ({fact}) / {len(models)} AS factuality,
+               ({elig}) / {len(models)} AS eligibility
+        FROM cases
+    ),
+    flagged AS (
+        SELECT name, factuality, eligibility,
+               CAST(CASE WHEN factuality >= 0.5 THEN 1 ELSE 0 END AS DOUBLE) AS high
+        FROM scored
+    )
+    SELECT name,
+           ROUND(SUM(factuality) / COUNT(1), 2) AS avg_factuality,
+           MIN(factuality) AS min_factuality,
+           MAX(factuality) AS max_factuality,
+           ROUND(SUM(high) / COUNT(1), 2) AS high_factuality_rate,
+           ROUND(SUM(eligibility) / COUNT(1), 2) AS avg_eligibility,
+           COUNT(1) AS n
+    FROM flagged
+    GROUP BY name
+    """
+
+
+@query("run_judge_config_metrics", oracle=_judge_cfg_metrics_oracle())
+def run_judge_config_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The judge-CLI drop-in (plans/runner.py::run_judge_config, reference
+    apps/llm_as_a_judge/eval_with_facts.py) end-to-end under the oracle:
+    judge-shaped JSONL cases (src/gen/instr/name field mapping via the
+    config), two deterministic judge models fanned out for factuality AND
+    eligibility, results written to the configured sink, and the returned
+    metrics frame (the reference's 4-CTE aggregation, :22-81) hash-diffed
+    against a DuckDB replay of the full prompt->hash->label->score->metric
+    chain."""
+    import json as _json
+
+    from instructionspipe_spark.plans.runner import run_judge_config
+
+    src = os.path.join(sf_dir, "documents.parquet").replace("'", "''")
+    in_path = _jsonl_scratch(
+        sf_dir, "judge_cfg_v1",
+        f"SELECT doc_id, text AS src, lang AS gen, "
+        f"'Summarize the document.' AS instr, lang AS name "
+        f"FROM '{src}' ORDER BY doc_id",
+    )
+    run_dir = _runner_run_dir(sf_dir, "judge_cfg_v1")
+    cfg = {
+        "in_data_path": in_path,
+        "out_data_path": os.path.join(run_dir, "judged.jsonl"),
+        "in_text_field": "src",
+        "out_text_field": "gen",
+        "instruction_field": "instr",
+        "llms": [{"model": "m1"}, {"model": "m2"}],
+    }
+    cfg_path = os.path.join(run_dir, "config.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(cfg, f)
+    _results, metrics = run_judge_config(spark, cfg_path)
+    return metrics
