@@ -27,50 +27,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Gate rotation: the driver's correctness harness samples the FIRST 50
-# entries of queries(). Round-7 priority order (VERDICT_r6 "Next round" #2:
-# rotate onto the stalest records; every registry query has been gated at
-# least once, so priority = never-gated new rows, then oldest gate record):
-# 1. The NINE new r7 queries: the trained-mode (KMeans) recall contracts
-#    (ivfadc_trained_recall, pq_trained_recall, semantic_dedup_trained —
-#    VERDICT item 1) and the three new streaming twins
-#    (streaming_sliding_equiv, streaming_session_equiv,
-#    streaming_late_drop_equiv — VERDICT item 4) plus the stateful
-#    cross-batch dedup twin (streaming_dedup_equiv), the foreachBatch
-#    LLM-cache twin (streaming_llm_cache_equiv — the row that caught the
-#    ReuseExchange cache bug), and the applyInPandasWithState custom
-#    stateful operator twin (streaming_stateful_counts_equiv).
-# 2. The FIFTEEN queries whose newest gate record is r4 — the full
-#    r4-or-older set, verified against the r1-r6 CORRECTNESS union.
-# 3. Backfill: 26 of the 49 r5-gated queries (LLM family, similarity
-#    family, TPC-H mid-family). The 23 r5-gated rows left out
-#    (grouping_sets_revenue, percentile_order_value, pivot_event_matrix,
-#    q8_market_share, window_moving_avg,
-#    q10/q15/q17, date_arithmetic, variant_json_extract, join_full_outer,
-#    unpivot_metrics, the textstats cohort) are exactly two rounds old
-#    after r7 and lead the r8 rotation.
+# entries of queries(). Round-8 priority order (VERDICT_r7 "Next round" #2:
+# no registry query's newest gate record should be older than two rounds):
+# 1. The THREE new r8 queries: the config-runner end-to-end rows
+#    (run_config_pipeline, run_judge_config_metrics — VERDICT item 1,
+#    closing the last pytest-only family) and the most_dup greedy dedup
+#    (lsh_dedup_most_dup — VERDICT item 3, closing the last semantic cut).
+# 2. The TWENTY-THREE queries whose newest gate record is r5 — the full
+#    r5-or-older set, verified against the r1-r7 CORRECTNESS union.
+# 3. Backfill: 24 of the 50 r6-gated queries (the dedup/similarity/
+#    packing/streaming-r6 cohort). The 26 r6-gated rows left out (the
+#    basic-relational cohort: join_dims_broadcast .. grouped_split,
+#    simhash_fingerprints, ngram_jaccard_pairs, chatml_flatten, ...)
+#    are two rounds old after r8 and lead the r9 rotation together with
+#    the r7 cohort.
 _GATE_FIRST = (
     # -- new this round ----------------------------------------------------
-    "ivfadc_trained_recall", "pq_trained_recall", "semantic_dedup_trained",
-    "streaming_sliding_equiv", "streaming_session_equiv",
-    "streaming_late_drop_equiv", "streaming_dedup_equiv",
-    "streaming_llm_cache_equiv", "streaming_stateful_counts_equiv",
-    # -- stalest: last gated r4 --------------------------------------------
-    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
-    "agg_rollup", "agg_distinct", "agg_cube", "cross_corpus_near_dups",
-    "cache_keys", "range_join_events", "tumbling_window_agg",
-    "judge_metrics", "cost_estimate", "instructions_mapreduce",
-    "session_windows", "sliding_windows",
-    # -- r5-gated backfill -------------------------------------------------
-    "bpe_token_counts", "lm_block_manifest", "approx_distinct",
-    "self_verification", "constrained_json_parse", "tag_extraction",
-    "media_features", "chatml_family_adjust", "cached_completions",
-    "judge_fanout_ensemble", "grpo_reward_advantage", "hash_split_counts",
-    "similarity_multitable_topk", "similarity_lsh_multiprobe",
-    "similarity_lsh_topk", "agentic_fanout", "similarity_ivf_topk",
-    "q14_promo_ratio", "q18_large_orders", "salted_aggregate",
-    "q4_priority_exists", "q13_customer_distribution",
-    "q19_disjunctive_revenue", "q22_dormant_customers", "simhash_near_dedup",
-    "q7_nation_trade",
+    "run_config_pipeline", "run_judge_config_metrics", "lsh_dedup_most_dup",
+    # -- stalest: last gated r5 --------------------------------------------
+    "q8_market_share", "q10_returned_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "grouping_sets_revenue",
+    "pivot_event_matrix", "percentile_order_value", "variant_json_extract",
+    "join_full_outer", "unpivot_metrics", "window_moving_avg",
+    "date_arithmetic", "repetition_stats", "text_redaction",
+    "length_quantile_filter", "contamination_screen",
+    "stratified_corpus_sample", "temperature_mixture", "shard_summary",
+    "length_quantile_filter_approx", "document_chunks", "tfidf_top_terms",
+    "unigram_doc_logprob",
+    # -- r6-gated backfill -------------------------------------------------
+    "char_entropy_quality", "incremental_batch_dedup", "similarity_pq_topk",
+    "similarity_ivfadc_topk", "template_block_strip", "lsh_bucket_stats",
+    "frequent_ngrams", "lm_corpus_blocks", "agentic_routed_fanout",
+    "streaming_tumbling_equiv", "streaming_band_admission",
+    "word_block_dedup", "q6_forecast_revenue", "minhash_signatures",
+    "minhash_lsh_dedup", "jaccard_pairs_lsh", "near_dup_components",
+    "embedding_near_dup", "similarity_brute_topk", "cluster_best_survivor",
+    "sequence_packing", "corpus_prep_pipeline", "semantic_dedup",
+    "asof_join_purchases",
 )
 
 
