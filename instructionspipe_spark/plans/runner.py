@@ -145,6 +145,11 @@ def run_judge_config(
         lambda m: MockJudgeLlm(m, labels=("No Issues", "Minor Issue(s)"))
     )
 
+    if not cfg.get("llms"):
+        raise ValueError(
+            f"config {config_path!r} has no 'llms' section — at least one "
+            "judge model is required (the ensemble is a mean over models)"
+        )
     cases = read_jsonl(spark, cfg["in_data_path"], schema=schema)
     if cfg.get("max_sample_size"):
         cases = cases.limit(int(cfg["max_sample_size"]))
@@ -181,7 +186,19 @@ def run_judge_config(
         F.col("factuality_rationales"),
         F.col("eligibility_rationales"),
     ]
-    cols += [F.col(c) for c in cfg.get("extra_cols") or () if c in cases.columns]
+    # extra_cols that are absent from the input are skipped (the reference
+    # indexes the case dict and would KeyError; permissive here), and ones
+    # colliding with a fixed output name are skipped too — a duplicate
+    # column name would poison every downstream select.
+    fixed = {
+        "factuality", "eligibility", "gt_factuality", "gt_eligibility",
+        "src_text", "gen_text", "instruction", "factuality_rationales",
+        "eligibility_rationales", "name",
+    }
+    cols += [
+        F.col(c) for c in dict.fromkeys(cfg.get("extra_cols") or ())
+        if c in cases.columns and c not in fixed
+    ]
     if "name" not in cases.columns:  # reference fallback: out["name"] = "n/a"
         cols.append(F.lit("n/a").alias("name"))
     else:

@@ -370,13 +370,14 @@ def test_run_etl_configs_cli_twins(spark, tmp_path):
     assert any(t.startswith("completely different") for t in texts)
     assert sum(t.startswith("the quick brown fox") for t in texts) == 1
 
-    import pytest
-
-    cfg5 = dict(cfg4, most_dup=2)
+    # most_dup=2 (implemented r8): every doc in this corpus has at most
+    # 1 previously-kept near-match, so nothing beyond the length filter drops
+    cfg5 = dict(cfg4, most_dup=2, output_path=str(tmp_path / "dc_out2.jsonl"))
     p5 = tmp_path / "dc2.json"
     p5.write_text(json.dumps(cfg5))
-    with pytest.raises(NotImplementedError):
-        run_etl_dedup_config(spark, str(p5))
+    out5 = run_etl_dedup_config(spark, str(p5))
+    texts5 = [r["findings"] for r in out5.collect()]
+    assert sum(t.startswith("the quick brown fox") for t in texts5) == 2
 
 
 def test_run_agentic_config_cli_twin(spark, tmp_path):

@@ -472,3 +472,164 @@ def test_incremental_dedup_adversarial_skew(spark, skewed_docs):
         else:
             # md5-distinct payloads share ~1% trigram jaccard — all kept
             assert r["kept"]
+
+
+# -- most_dup greedy: parameter sweep vs the sequential recursive oracle -----
+@pytest.mark.parametrize("num_perm,bands,most_dup", [(8, 2, 0), (8, 4, 1), (16, 4, 2)])
+def test_most_dup_param_space(spark, documents, duck, num_perm, bands, most_dup):
+    from instructionspipe_spark.operators.dedup import minhash_lsh_dedup_most_dup
+    from instructionspipe_spark.registry import _most_dup_oracle
+
+    got = minhash_lsh_dedup_most_dup(
+        documents, "doc_id", "text", most_dup=most_dup, num_perm=num_perm, bands=bands
+    ).select("doc_id", "lang")
+    assert_df_equal(got, duck.query(_most_dup_oracle(num_perm, bands, most_dup)))
+
+
+# -- config-runner fuzz (VERDICT r7 #8): randomized reference-shaped configs -
+# Random pipes (1-3 map instructions, optional reduce, random optional keys,
+# string-pipe indirection at random subdir depth) must behave exactly like a
+# direct run_pipeline over the same records, with all three sinks consistent.
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_run_config_fuzz(spark, tmp_path, seed):
+    import json
+    import random
+
+    from instructionspipe_spark.plans.compiler import run_pipeline
+    from instructionspipe_spark.plans.instructions import Pipeline
+    from instructionspipe_spark.plans.llm_kernel import MockLlm
+    from instructionspipe_spark.plans.runner import run_config
+    from instructionspipe_spark.sources.io import read_jsonl
+
+    rng = random.Random(seed)
+    input_cols = ["a", "b"]
+    maps = []
+    for i in range(rng.randint(1, 3)):
+        d = {"name": f"m{i}", "scope": rng.sample(input_cols, rng.randint(1, 2)),
+             "content": f"do thing {i}"}
+        if rng.random() > 0.5:
+            d["role"] = "worker"
+        if rng.random() > 0.5:
+            d["output_fmt"] = "markdown"
+        maps.append(d)
+    stages = [maps]
+    if rng.random() > 0.3:
+        stages.append([{"name": "red", "scope": [m["name"] for m in maps],
+                        "content": "merge everything"}])
+
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    if rng.random() > 0.5:  # string-pipe indirection at random depth
+        sub = cfg_dir
+        for lvl in range(rng.randint(0, 2)):
+            sub = sub / f"d{lvl}"
+            sub.mkdir()
+        (sub / "pipe.json").write_text(json.dumps(stages))
+        pipe_val = str((sub / "pipe.json").relative_to(cfg_dir))
+    else:
+        pipe_val = stages
+
+    records = []
+    for i in range(6):
+        records.append({
+            "rid": i,
+            "a": f"alpha {rng.randrange(100)}" if rng.random() > 0.2 else "",
+            "b": f"beta {rng.randrange(100)}" if rng.random() > 0.2 else None,
+        })
+    in_path = tmp_path / "in.jsonl"
+    in_path.write_text("\n".join(json.dumps(r) for r in records))
+    cfg = {"pipe": pipe_val, "in_data_path": str(in_path),
+           "out_data_path": str(tmp_path / "out"),
+           "chatml_path": str(tmp_path / "chatml"), "llms": []}
+    cfg_path = cfg_dir / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    out = run_config(spark, str(cfg_path), llm=MockLlm())
+    want = run_pipeline(
+        read_jsonl(spark, str(in_path)), Pipeline.from_dict({"pipe": stages}), MockLlm()
+    )
+    assert {r["rid"]: r["result"] for r in out.collect()} == \
+           {r["rid"]: r["result"] for r in want.collect()}
+    # sink consistency: results rows, chatml rows per (record, instruction),
+    # meta joins results 1:1 on session_id
+    written = spark.read.json(str(tmp_path / "out"))
+    assert written.count() == len(records)
+    n_instr = sum(len(s) for s in stages)
+    assert spark.read.json(str(tmp_path / "chatml")).count() == len(records) * n_instr
+    meta = spark.read.json(str(tmp_path / "chatml") + ".meta.jsonl")
+    assert meta.select("session_id").join(written, "session_id").count() == len(records)
+
+
+# Judge CLI twin under random field mappings: missing name column -> the
+# reference's out["name"]="n/a" fallback (eval_with_facts.py:676-677),
+# missing gt fields -> typed NULL doubles, extra_cols with missing names and
+# fixed-name collisions skipped, max_sample_size honored, metrics consistent.
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_run_judge_config_fuzz(spark, tmp_path, seed):
+    import json
+    import random
+
+    from instructionspipe_spark.plans.runner import run_judge_config
+
+    rng = random.Random(seed)
+    has_name, has_gt = rng.random() > 0.5, rng.random() > 0.5
+    cap = rng.random() > 0.5
+    rows = []
+    for i in range(8):
+        r = {"rid": i, "src": f"source text {i}", "gen": f"generated {i}",
+             "instr": "judge this", "extra1": i * 2}
+        if has_name:
+            r["name"] = rng.choice(["n1", "n2"])
+        if has_gt:
+            r["gtf"] = float(rng.randint(0, 1))
+        rows.append(r)
+    in_path = tmp_path / "cases.jsonl"
+    in_path.write_text("\n".join(json.dumps(r) for r in rows))
+    cfg = {
+        "in_data_path": str(in_path),
+        "out_data_path": str(tmp_path / "judged"),
+        "in_text_field": "src", "out_text_field": "gen",
+        "instruction_field": "instr",
+        "llms": [{"model": m} for m in ("j1", "j2")][: rng.randint(1, 2)],
+        # one real, one absent, one fixed-name collision, one duplicate
+        "extra_cols": ["extra1", "missing_col", "factuality", "extra1"],
+    }
+    if has_gt:
+        cfg["gt_factuality_field"] = "gtf"
+    if cap:
+        cfg["max_sample_size"] = 5
+    p = tmp_path / "judge.json"
+    p.write_text(json.dumps(cfg))
+
+    results, metrics = run_judge_config(spark, str(p))
+    cols = results.columns
+    assert cols.count("factuality") == 1 and cols.count("name") == 1
+    assert cols.count("extra1") == 1 and "missing_col" not in cols
+    got = results.collect()
+    assert len(got) == (5 if cap else 8)
+    assert all(0.0 <= r["factuality"] <= 1.0 and 0.0 <= r["eligibility"] <= 1.0 for r in got)
+    if has_name:
+        assert {r["name"] for r in got} <= {"n1", "n2"}
+    else:
+        assert {r["name"] for r in got} == {"n/a"}
+    if has_gt:
+        assert all(r["gt_factuality"] is not None for r in got)
+    else:
+        assert all(r["gt_factuality"] is None for r in got)
+    m = metrics.collect()
+    assert {r["name"] for r in m} == {r["name"] for r in got}
+    assert sum(r["n"] for r in m) == len(got)
+
+
+def test_run_judge_config_requires_llms(spark, tmp_path):
+    import json
+
+    from instructionspipe_spark.plans.runner import run_judge_config
+
+    p = tmp_path / "no_llms.json"
+    p.write_text(json.dumps({
+        "in_data_path": str(tmp_path / "x.jsonl"), "out_data_path": str(tmp_path / "o"),
+        "in_text_field": "a", "out_text_field": "b", "instruction_field": "c",
+    }))
+    with pytest.raises(ValueError, match="llms"):
+        run_judge_config(spark, str(p))
