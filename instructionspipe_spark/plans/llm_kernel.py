@@ -109,6 +109,7 @@ class AsyncKernelLlm(LlmClient):
 
         def kernel(batches: Iterator) -> Iterator:
             import asyncio
+            from concurrent.futures import ThreadPoolExecutor
 
             one = make_completer()
 
@@ -126,6 +127,14 @@ class AsyncKernelLlm(LlmClient):
 
             for pdf in batches:
                 loop = asyncio.new_event_loop()
+                # The stdlib transport POSTs via the loop's default executor,
+                # and asyncio's default pool caps at min(32, cpus+4) threads
+                # — which silently floors max_concurrency > 32 (measured:
+                # peak in-flight pinned at ~32/partition however high the
+                # semaphore, BENCH_KERNEL.md round 8). Size the executor to
+                # the semaphore so the SEMAPHORE is the bound; the per-batch
+                # shutdown_default_executor drain below covers it.
+                loop.set_default_executor(ThreadPoolExecutor(max_workers=max_concurrency))
                 try:
                     pdf[out_col] = loop.run_until_complete(run_batch(list(pdf[prompt_col])))
                 finally:
