@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     # streaming_tumbling_equiv / streaming_band_admission likewise: the
     # stream drains to the memory sink at BUILD time (run_stream_to_table),
     # so the noop sink would time only the sink-table scan.
+    # r8: lsh_dedup_most_dup (label-propagation actions at build),
+    # run_config_pipeline / run_judge_config_metrics (full sink writes at
+    # build, the returned frame is a read-back) are excluded for the same
+    # reason; their runtime is visible in the oracle-differential timings.
 ]
 
 

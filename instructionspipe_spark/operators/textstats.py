@@ -272,7 +272,12 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, round_digits: int = 6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Per-document top-``k`` terms by tf-idf (smooth idf
     ``ln((N+1)/(df+1))``) — the keyword-extraction staple of corpus
@@ -283,7 +288,14 @@ def tfidf_top_terms(
     strategy) -> broadcast 1-row corpus count -> per-doc top-k window
     (partitions bounded by per-document vocabulary, never corpus-sized).
     Scores are rounded BEFORE ranking on both engines so cross-engine
-    float ulps can't flip the order; ties break on the term."""
+    float ulps can't flip the order; ties break on the term.
+
+    ``max_vocab`` is the 100-TB vocabulary cap (sklearn ``max_features``
+    semantics): scoring restricts to the N most-document-frequent terms
+    (ties on the term), so the idf side and the tf join stay bounded when
+    the corpus vocabulary grows with scale (SCALING.md third decade: the
+    doc-frequency join is this operator's growth term). Default ``None``
+    keeps the exact full-vocabulary semantics the oracle checks."""
     from instructionspipe_spark.session import ensure_parallelism
 
     from pyspark.sql import Window
@@ -295,6 +307,9 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    if max_vocab is not None:
+        # vocabulary-sized frame: orderBy().limit() compiles to TakeOrdered
+        docfreq = docfreq.orderBy(F.desc("__df"), F.asc("term")).limit(int(max_vocab))
     total = df.agg(F.count(F.lit(1)).alias("__n_docs"))
     score = F.round(
         F.col("__tf") * F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0))),

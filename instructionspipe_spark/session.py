@@ -61,6 +61,18 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_GRAFT_NO_LOCAL_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    # Local-mode driver heap: PySpark's in-process JVM defaults to 1g — a
+    # 32-thread local executor outgrows that on large inputs (the sf10
+    # scale probe OOMed it), and per-suite memory pressure shows up as
+    # timing drift. 16g is ~1/8 of the target box (local[32] / 128 GiB),
+    # leaving ample room for the 32 Python workers. Only applied when THIS
+    # call launches the JVM (local master, fresh process); on a real
+    # cluster spark-submit owns the sizing. SPARK_GRAFT_DRIVER_MEM
+    # overrides (the sf10 probe uses 48g).
+    if master is None and not os.environ.get("SPARK_GRAFT_NO_LOCAL_MASTER"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

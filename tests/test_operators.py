@@ -1280,3 +1280,27 @@ def test_minhash_lsh_dedup_most_dup_operator(spark):
     k1 = sorted(r["id"] for r in minhash_lsh_dedup_most_dup(df, "id", "text", most_dup=1).collect())
     assert k0 == [1, 4]
     assert k1 == [1, 2, 4]
+
+
+def test_tfidf_max_vocab_cap(spark):
+    """The 100-TB vocabulary cap on tfidf_top_terms: scoring restricts to
+    the max_vocab most-document-frequent terms; a cap >= |vocab| is exactly
+    the uncapped result."""
+    from instructionspipe_spark.operators.textstats import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1"),
+            (2, "common other rare2"),
+            (3, "common other rare3"),
+        ],
+        ["id", "text"],
+    )
+    full = tfidf_top_terms(df, "id", "text", k=5)
+    capped_wide = tfidf_top_terms(df, "id", "text", k=5, max_vocab=100)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, capped_wide.collect()))
+    # cap=2 keeps only {common, other} (df 3 and 2); rare* never scored
+    capped = tfidf_top_terms(df, "id", "text", k=5, max_vocab=2)
+    terms = {r["term"] for r in capped.collect()}
+    assert terms <= {"common", "other"}
+    assert not any(t.startswith("rare") for t in terms)

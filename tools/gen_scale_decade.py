@@ -27,7 +27,11 @@ this reproduces the LAWS measured from sf0.1 rather than the exact bytes:
 Deterministic (numpy seed 42). Output: /root/repo/.scale/sf1/*.parquet
 (gitignored scratch — sf name parseable by scale_probe's float(...) rule).
 
-Usage: python tools/gen_scale_decade.py [n_docs n_vecs]
+Usage: python tools/gen_scale_decade.py [n_docs n_vecs [sf_name [vocab]]]
+       defaults: 50000 20000 sf1 310. The third decade (VERDICT r7 #6) is
+       `python tools/gen_scale_decade.py 500000 20000 sf10 980` — vocabulary
+       grows ~ sqrt(corpus) (Heaps' law beta=0.5), keeping random-pair
+       jaccard sparse at 10x so the probe still measures plan shape.
 """
 
 from __future__ import annotations
@@ -40,10 +44,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
+SCALE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
 
 
-def gen_documents(rng: np.random.RandomState, n: int) -> pa.Table:
+def gen_documents(rng: np.random.RandomState, n: int, vocab: int = 310) -> pa.Table:
     import duckdb
 
     real_words = [
@@ -56,7 +60,7 @@ def gen_documents(rng: np.random.RandomState, n: int) -> pa.Table:
     # Extended zipf vocabulary: real words keep the high-frequency ranks so
     # the text still looks like the source corpus; the synthetic tail makes
     # random-pair shingle overlap sparse (see module docstring).
-    words = real_words + [f"tok{k}" for k in range(310 - len(real_words))]
+    words = real_words + [f"tok{k}" for k in range(vocab - len(real_words))]
     wprob = 1.0 / np.arange(1, len(words) + 1, dtype=float)
     wprob /= wprob.sum()
     counts_pool = np.array(
@@ -126,13 +130,16 @@ def gen_embeddings(rng: np.random.RandomState, n: int, dim: int = 64) -> pa.Tabl
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
-    os.makedirs(OUT, exist_ok=True)
+    sf_name = sys.argv[3] if len(sys.argv) > 3 else "sf1"
+    vocab = int(sys.argv[4]) if len(sys.argv) > 4 else 310
+    out = os.path.join(SCALE_ROOT, sf_name)
+    os.makedirs(out, exist_ok=True)
     rng = np.random.RandomState(42)
-    docs = gen_documents(rng, n_docs)
-    pq.write_table(docs, os.path.join(OUT, "documents.parquet"))
+    docs = gen_documents(rng, n_docs, vocab=vocab)
+    pq.write_table(docs, os.path.join(out, "documents.parquet"))
     emb = gen_embeddings(rng, n_vecs)
-    pq.write_table(emb, os.path.join(OUT, "embeddings.parquet"))
-    print(f"wrote {n_docs} documents, {n_vecs} embeddings -> {OUT}")
+    pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+    print(f"wrote {n_docs} documents ({vocab}-word vocab), {n_vecs} embeddings -> {out}")
     return 0
 
 
