@@ -29,10 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate rotation: the driver's correctness harness samples the FIRST 50
 # entries of queries(). Round-8 priority order (VERDICT_r7 "Next round" #2:
 # no registry query's newest gate record should be older than two rounds):
-# 1. The THREE new r8 queries: the config-runner end-to-end rows
+# 1. The FOUR new r8 queries: the config-runner end-to-end rows
 #    (run_config_pipeline, run_judge_config_metrics — VERDICT item 1,
-#    closing the last pytest-only family) and the most_dup greedy dedup
-#    (lsh_dedup_most_dup — VERDICT item 3, closing the last semantic cut).
+#    closing the last pytest-only family), the most_dup greedy dedup
+#    (lsh_dedup_most_dup — VERDICT item 3, closing the last semantic cut),
+#    and the batch RAG context pipeline (rag_context_pipeline, N38).
 # 2. The TWENTY-THREE queries whose newest gate record is r5 — the full
 #    r5-or-older set, verified against the r1-r7 CORRECTNESS union.
 # 3. Backfill: 24 of the 50 r6-gated queries (the dedup/similarity/
@@ -44,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_FIRST = (
     # -- new this round ----------------------------------------------------
     "run_config_pipeline", "run_judge_config_metrics", "lsh_dedup_most_dup",
+    "rag_context_pipeline",
     # -- stalest: last gated r5 --------------------------------------------
     "q8_market_share", "q10_returned_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "grouping_sets_revenue",
@@ -63,7 +65,6 @@ _GATE_FIRST = (
     "minhash_lsh_dedup", "jaccard_pairs_lsh", "near_dup_components",
     "embedding_near_dup", "similarity_brute_topk", "cluster_best_survivor",
     "sequence_packing", "corpus_prep_pipeline", "semantic_dedup",
-    "asof_join_purchases",
 )
 
 

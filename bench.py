@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "quality_classifier",
     "perplexity_buckets",
     "semantic_dedup",
+    # round 8 additions
+    "rag_context_pipeline",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -5613,3 +5613,117 @@ def run_judge_config_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _json.dump(cfg, f)
     _results, metrics = run_judge_config(spark, cfg_path)
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# N38 (r8): batch RAG context assembly — the one common LLM-data workload not
+# yet represented end-to-end: ANN retrieve -> join passages -> rank-ordered
+# prompt assembly -> batched completion, as ONE declarative plan. This row
+# uses the exact brute-force retriever so the oracle replays every stage
+# byte-for-byte; the gated IVF/PQ/LSH rows are the drop-in scale path for
+# the retrieval stage (same (query_id, vec_id, rank) contract).
+# ---------------------------------------------------------------------------
+
+
+_RAG_PREAMBLE = "Use the context to answer."
+_RAG_QUESTION = "Question: summarize the topic of document "
+
+
+def _rag_oracle(k_ctx: int = 3, clip: int = 160) -> str:
+    dot = _DOT_SQL.replace("b.__nv", "q.__nv").replace(
+        "a.__nv[i] * q.__nv[i]", "q.__nv[i] * a.__nv[i]"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, __nv FROM v WHERE vec_id % 100 = 7),
+    scored AS (
+        SELECT q.query_id, a.vec_id, ROUND({dot}, 4) AS cosine
+        FROM v a, q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    ),
+    hits AS (SELECT * FROM ranked WHERE rank <= {k_ctx + 1} AND vec_id != query_id),
+    ctx AS (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS ctx_rank
+        FROM hits
+    ),
+    passages AS (
+        SELECT c.query_id, c.ctx_rank, c.vec_id, substr(d.text, 1, {clip}) AS passage
+        FROM ctx c JOIN documents d ON d.doc_id = c.vec_id
+        WHERE c.ctx_rank <= {k_ctx}
+    ),
+    assembled AS (
+        SELECT query_id,
+               COUNT(*) AS n_ctx,
+               string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY ctx_rank) AS ctx_ids,
+               '{_RAG_PREAMBLE}' || chr(10) || chr(10)
+                 || string_agg('[' || CAST(ctx_rank AS VARCHAR) || '] ' || passage,
+                               chr(10) ORDER BY ctx_rank)
+                 || chr(10) || chr(10) || '{_RAG_QUESTION}' || CAST(query_id AS VARCHAR)
+                 AS prompt
+        FROM passages GROUP BY query_id
+    )
+    SELECT query_id, n_ctx, ctx_ids, md5('mock:' || prompt) AS answer FROM assembled
+    """
+
+
+@query("rag_context_pipeline", oracle=_rag_oracle())
+def rag_context_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N38 batch RAG: for each query vector, retrieve the 3 nearest
+    passages (exact cosine, self excluded, deterministic rank/tie rules
+    shared with similarity_brute_topk), clip + join their document texts,
+    assemble the rank-ordered context prompt in-plan, and complete the
+    batch through the LLM seam (MockLlm: the oracle recomputes the md5 per
+    assembled prompt, so a wrong retrieval, ordering, clip, or template
+    byte diverges the hash). Plan shape: the query side broadcasts, the
+    corpus streams once; assembly is one groupBy(query_id) whose
+    cardinality = |queries|; the completion is a codegen expression (or the
+    async kernel for a live client) — no shuffle grows with corpus size
+    except the retrieval stage, which the gated IVF/PQ/LSH rows replace at
+    scale."""
+    k_ctx, clip = 3, 160
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = ops.brute_force_topk(embeddings, queries_df, k_ctx + 1, rank_round=4)
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    ctx = (
+        hits.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("ctx_rank", F.row_number().over(w))
+        .filter(F.col("ctx_rank") <= k_ctx)
+    )
+    passages = ctx.join(
+        documents.select(F.col("doc_id").alias("vec_id"), F.substring("text", 1, clip).alias("passage")),
+        "vec_id",
+    )
+    sorted_ctx = F.array_sort(F.collect_list(F.struct("ctx_rank", "vec_id", "passage")))
+    assembled = passages.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_ctx"),
+        sorted_ctx.alias("__ctx"),
+    )
+    body = F.array_join(
+        F.transform(
+            F.col("__ctx"),
+            lambda x: F.concat(
+                F.lit("["), x["ctx_rank"].cast("string"), F.lit("] "), x["passage"]
+            ),
+        ),
+        "\n",
+    )
+    prompt = F.concat(
+        F.lit(_RAG_PREAMBLE + "\n\n"),
+        body,
+        F.lit("\n\n" + _RAG_QUESTION),
+        F.col("query_id").cast("string"),
+    )
+    with_prompt = assembled.withColumn("__prompt", prompt).withColumn(
+        "ctx_ids",
+        F.array_join(F.transform(F.col("__ctx"), lambda x: x["vec_id"].cast("string")), ","),
+    )
+    out = MockLlm().complete_df(with_prompt, "__prompt", "answer")
+    return out.select("query_id", "n_ctx", "ctx_ids", "answer")

@@ -163,10 +163,21 @@ def main() -> int:
         if os.path.exists(json_out):
             with open(json_out) as f:
                 merged = json.load(f)
-        merged[os.path.basename(os.path.normpath(sf_dir))] = {
-            "passed": n_run - len(failures),
-            "total": n_run,
-            "queries": results,
+        # Merge per QUERY within the sf entry, not per sf: a scoped rerun
+        # (`--json OUT sf_dir query ...`) updates just those rows and
+        # recomputes the totals, instead of clobbering a full-registry
+        # record with a 1-query one.
+        sf_key = os.path.basename(os.path.normpath(sf_dir))
+        prior = merged.get(sf_key, {}).get("queries", {})
+        all_q = {**prior, **results}
+        merged[sf_key] = {
+            "passed": sum(
+                1 for v in all_q.values()
+                if v.get("hash_match")
+                or (v.get("err") == "no_oracle (rows-only check)" and v.get("rows_match"))
+            ),
+            "total": len(all_q),
+            "queries": all_q,
         }
         with open(json_out, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
