@@ -42,9 +42,30 @@ def _list_cache_files(spark: SparkSession, cache_path: str) -> list[str]:
     by one read — benign for this table: it is append-only with a
     deterministic min tie-break on read, so a missed file only means a few
     recomputed (identical) completions."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(cache_path)
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(cache_path)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception:
+        # Spark Connect session: no JVM gateway on the client. Fall back to
+        # a local-filesystem listing (the pre-r8 behavior); non-local URIs
+        # are refused loudly rather than silently read as an empty cache.
+        import os
+        from urllib.parse import urlparse
+
+        parsed = urlparse(cache_path)
+        if parsed.scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"cache path {cache_path!r}: listing a non-local filesystem "
+                "requires a classic (JVM-gateway) session; on Spark Connect "
+                "pass a local cache path or pre-list the files"
+            )
+        local = parsed.path if parsed.scheme == "file" else cache_path
+        if not os.path.isdir(local):
+            return []
+        return sorted(
+            os.path.join(local, f) for f in os.listdir(local) if f.endswith(".parquet")
+        )
     if not fs.exists(path):
         return []
     return sorted(
