@@ -876,7 +876,12 @@ def simhash(text: Column, bits: int = 32, ngram: int = 3, engine: str = "arrow")
     NULL MinHash signature); run the low-length filter (P5) first to drop
     them explicitly.
     """
-    assert bits <= 48
+    if not 1 <= bits <= 48:
+        raise ValueError(
+            f"simhash bits={bits}: the per-shingle base hash is 48-bit "
+            "(md5 slice, see base_hash48), so fingerprints support at most "
+            "48 voted bit positions"
+        )
     if engine == "arrow":
         return _simhash_kernel(bits, ngram)(shingle_normalize(text))
     shingles = F.array_distinct(char_ngrams(text, n=ngram))
