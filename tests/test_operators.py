@@ -1304,3 +1304,31 @@ def test_tfidf_max_vocab_cap(spark):
     terms = {r["term"] for r in capped.collect()}
     assert terms <= {"common", "other"}
     assert not any(t.startswith("rare") for t in terms)
+
+
+def test_most_dup_edge_cases(spark):
+    """Degenerate inputs for the most_dup greedy: empty frame, all-NULL /
+    empty / too-short texts (NULL signature rows never pair and pass
+    through), and a single doc."""
+    from pyspark.sql import types as T
+
+    from instructionspipe_spark.operators.dedup import minhash_lsh_dedup_most_dup
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert minhash_lsh_dedup_most_dup(empty, "id", "text", most_dup=1).count() == 0
+
+    degenerate = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab"), (4, "   ")], schema
+    )
+    kept = sorted(
+        r["id"] for r in minhash_lsh_dedup_most_dup(degenerate, "id", "text").collect()
+    )
+    assert kept == [1, 2, 3, 4]  # nothing shingles -> nothing pairs -> all kept
+
+    single = spark.createDataFrame(
+        [(9, "a perfectly ordinary document about nothing much")], schema
+    )
+    assert [r["id"] for r in minhash_lsh_dedup_most_dup(single, "id", "text").collect()] == [9]
