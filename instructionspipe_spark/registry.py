@@ -5685,45 +5685,13 @@ def rag_context_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     async kernel for a live client) — no shuffle grows with corpus size
     except the retrieval stage, which the gated IVF/PQ/LSH rows replace at
     scale."""
-    k_ctx, clip = 3, 160
+    from instructionspipe_spark.plans.rag import rag_assemble
+
     documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
     queries_df = embeddings.filter(F.col("vec_id") % 100 == 7).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    hits = ops.brute_force_topk(embeddings, queries_df, k_ctx + 1, rank_round=4)
-    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
-    ctx = (
-        hits.filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("ctx_rank", F.row_number().over(w))
-        .filter(F.col("ctx_rank") <= k_ctx)
+    return rag_assemble(
+        queries_df, embeddings, documents, MockLlm(),
+        k_ctx=3, clip=160, preamble=_RAG_PREAMBLE, question=_RAG_QUESTION,
     )
-    passages = ctx.join(
-        documents.select(F.col("doc_id").alias("vec_id"), F.substring("text", 1, clip).alias("passage")),
-        "vec_id",
-    )
-    sorted_ctx = F.array_sort(F.collect_list(F.struct("ctx_rank", "vec_id", "passage")))
-    assembled = passages.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_ctx"),
-        sorted_ctx.alias("__ctx"),
-    )
-    body = F.array_join(
-        F.transform(
-            F.col("__ctx"),
-            lambda x: F.concat(
-                F.lit("["), x["ctx_rank"].cast("string"), F.lit("] "), x["passage"]
-            ),
-        ),
-        "\n",
-    )
-    prompt = F.concat(
-        F.lit(_RAG_PREAMBLE + "\n\n"),
-        body,
-        F.lit("\n\n" + _RAG_QUESTION),
-        F.col("query_id").cast("string"),
-    )
-    with_prompt = assembled.withColumn("__prompt", prompt).withColumn(
-        "ctx_ids",
-        F.array_join(F.transform(F.col("__ctx"), lambda x: x["vec_id"].cast("string")), ","),
-    )
-    out = MockLlm().complete_df(with_prompt, "__prompt", "answer")
-    return out.select("query_id", "n_ctx", "ctx_ids", "answer")

@@ -265,3 +265,47 @@ def test_group_relative_advantage(spark):
     assert math.isclose(rows[("p1", 1)], -1.0, rel_tol=1e-4)
     # degenerate group: all equal -> 0, never NULL/inf
     assert rows[("p2", 0)] == 0.0 and rows[("p2", 1)] == 0.0
+
+
+def test_rag_assemble_retriever_swap(spark):
+    """plans/rag.py N38: the retriever is a drop-in contract —
+    (query_id, vec_id, rank). The exact brute-force default and the IVF
+    ANN path (probe-all, so it is exhaustive too) must assemble IDENTICAL
+    prompts and answers; a custom retriever changes only the retrieval."""
+    import numpy as np
+
+    from instructionspipe_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_deterministic,
+    )
+    from instructionspipe_spark.plans.llm_kernel import MockLlm
+    from instructionspipe_spark.plans.rag import rag_assemble
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} talks about topic {i % 5} at length") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    queries = corpus.filter("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+
+    base = rag_assemble(queries, corpus, docs, MockLlm(), k_ctx=2, clip=40)
+    # IVF with n_probe == n_cells is exhaustive -> identical retrieval
+    ivf = rag_assemble(
+        queries, corpus, docs, MockLlm(), k_ctx=2, clip=40,
+        retriever=lambda c, q, k: ivf_topk_deterministic(
+            c, q, k, n_cells=4, n_probe=4, rank_round=4
+        ),
+    )
+    rows_b = sorted(map(tuple, base.collect()))
+    rows_i = sorted(map(tuple, ivf.collect()))
+    assert rows_b == rows_i
+    assert len(rows_b) == 3 and all(r[1] == 2 for r in rows_b)  # n_ctx == k_ctx
+    # answers are the mock md5 of the assembled prompt: stable across runs
+    assert rows_b == sorted(map(tuple, rag_assemble(
+        queries, corpus, docs, MockLlm(), k_ctx=2, clip=40).collect()))
