@@ -154,7 +154,10 @@ def bench_engines() -> int:
         "",
         f"Min-of-3 noop-sink materializations over `documents.text` at `{sf_dir}`,",
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]. Regenerate with `python bench.py --engines`.",
-        "Both engines are bit-identical (tests/test_operators.py -k engines_identical);",
+        "The integer/hash kernels are bit-identical (tests/test_operators.py -k",
+        "engines_identical); the one float kernel (char_entropy) agrees within a",
+        "last ulp (numpy log2 vs JVM log(x)/log(2); both sum in code-point order),",
+        "pinned by test_char_entropy_engines_agree — consumers round to 6 digits.",
         "this table records the cost gap only. The expression twin's shingle loop is",
         "O(len^2) per document (`substr(i, n)` is O(position) on UTF8String), which is",
         "why the Arrow kernel is the default for every long-document operator.",

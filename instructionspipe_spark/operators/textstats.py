@@ -233,8 +233,13 @@ def char_entropy(text: Column, engine: str = "arrow") -> Column:
         return _entropy_kernel()(text)
     chars = F.split(text, "")
     n = F.size(chars)
+    # Sorted distinct chars: UTF-8 binary order == code-point order, the
+    # same summation order as the Arrow kernel's np.unique — so the two
+    # engines agree to the last ulp of their log2 implementations (numpy's
+    # log2 vs the JVM's log(x)/log(2) can still differ by 1 ulp on some
+    # inputs; every consumer rounds well inside that).
     probs = F.transform(
-        F.array_distinct(chars),
+        F.array_sort(F.array_distinct(chars)),
         lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double") / n.cast("double"),
     )
     ent = -F.aggregate(

@@ -1332,3 +1332,37 @@ def test_most_dup_edge_cases(spark):
         [(9, "a perfectly ordinary document about nothing much")], schema
     )
     assert [r["id"] for r in minhash_lsh_dedup_most_dup(single, "id", "text").collect()] == [9]
+
+
+def test_char_entropy_engines_agree(spark):
+    """char_entropy arrow vs expression on multibyte text: the integer/hash
+    kernels are bit-identical (test_shingle_engines_identical); the one
+    FLOAT kernel can differ by a last ulp (numpy's log2 vs the JVM's
+    log(x)/log(2), pairwise vs sequential summation), so its contract is
+    <=4e-16 relative — found by a multibyte differential hunt (r8); both
+    summation orders are now code-point sorted. Every consumer rounds to
+    6 digits, far inside the bound."""
+    from instructionspipe_spark.operators.textstats import char_entropy
+
+    rows = [
+        (1, "héllo wörld ünïcode tëst with àccénts évérywhere"),
+        (2, "日本語のテキストです。これは重複排除のテストです。"),
+        (3, "emoji soup 🎉🎊🎈 party 🎉🎊 again 🎈🎉 forever"),
+        (4, "ASCII control\ttab\nnewline mixed with ümlauts"),
+        (5, "ｆｕｌｌｗｉｄｔｈ　ｌａｔｉｎ　ｃｈａｒｓ"),
+        (6, "한국어 텍스트 중복 제거 테스트 문장입니다"),
+        (7, ""),
+        (8, None),
+        (9, "aaaaaaaa"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    a = {r["id"]: r["v"] for r in df.select("id", char_entropy(F.col("text"), engine="arrow").alias("v")).collect()}
+    e = {r["id"]: r["v"] for r in df.select("id", char_entropy(F.col("text"), engine="expr").alias("v")).collect()}
+    assert a.keys() == e.keys()
+    for k in a:
+        if a[k] is None or e[k] is None:
+            assert a[k] == e[k], k
+        elif a[k] == 0.0 or e[k] == 0.0:
+            assert a[k] == e[k], k
+        else:
+            assert abs(a[k] - e[k]) <= 4e-16 * abs(a[k]), (k, a[k], e[k])
