@@ -633,3 +633,64 @@ def test_run_judge_config_requires_llms(spark, tmp_path):
     }))
     with pytest.raises(ValueError, match="llms"):
         run_judge_config(spark, str(p))
+
+
+# -- multibyte oracle parity (r8 hunt, committed): the gated corpus is
+# ASCII-ish, so Spark-vs-DuckDB agreement on non-Latin scripts, emoji,
+# fullwidth forms, zero-width chars and combining marks was unpinned —
+# the two regex/hash engines could classify \p{L} differently and no
+# gate would notice. These lock normalization and the full minhash chain.
+_MULTIBYTE_TEXTS = [
+    "héllo wörld — ünïcode!! tëst häppens",
+    "日本語のテキスト、句読点。テストです",
+    "emoji 🎉 and text ✨ mixed together here",
+    "combining é acute vs é precomposed",
+    "ｆｕｌｌｗｉｄｔｈ　ＬＡＴＩＮ　ｃｈａｒｓ",
+    "числа 123 и буквы ЯЁ вместе с текстом",
+    "ZERO​WIDTH​SPACE test",  # U+200B between words
+    "NBSP separated words",  # U+00A0 separators
+]
+
+
+def test_multibyte_normalization_oracle_parity(spark, duck):
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.functions.text import shingle_normalize
+    from instructionspipe_spark.registry import _norm_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_MULTIBYTE_TEXTS)], ["id", "text"]
+    )
+    got = {r["id"]: r["v"] for r in df.select("id", shingle_normalize(F.col("text")).alias("v")).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"id": range(len(_MULTIBYTE_TEXTS)), "text": _MULTIBYTE_TEXTS}))
+    want = {r[0]: r[1] for r in con.sql(f"SELECT id, {_norm_sql('text')} FROM t").fetchall()}
+    assert got == want
+
+
+def test_multibyte_minhash_oracle_parity(spark, duck):
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import minhash_signature
+    from instructionspipe_spark.registry import _minhash_base_cte
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_MULTIBYTE_TEXTS)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: list(r["v"] or [])
+        for r in df.select("doc_id", minhash_signature(F.col("text"), num_perm=8).alias("v")).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(_MULTIBYTE_TEXTS)), "text": _MULTIBYTE_TEXTS}))
+    want = {
+        r[0]: list(r[1] or [])
+        for r in con.sql("WITH" + _minhash_base_cte(8) + " SELECT doc_id, __sig FROM sig").fetchall()
+    }
+    assert got == want
