@@ -45,7 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_FIRST = (
     # -- new this round ----------------------------------------------------
     "run_config_pipeline", "run_judge_config_metrics", "lsh_dedup_most_dup",
-    "rag_context_pipeline",
+    "rag_context_pipeline", "token_budget_mixture",
     # -- stalest: last gated r5 --------------------------------------------
     "q8_market_share", "q10_returned_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "grouping_sets_revenue",
@@ -64,7 +64,7 @@ _GATE_FIRST = (
     "word_block_dedup", "q6_forecast_revenue", "minhash_signatures",
     "minhash_lsh_dedup", "jaccard_pairs_lsh", "near_dup_components",
     "embedding_near_dup", "similarity_brute_topk", "cluster_best_survivor",
-    "sequence_packing", "corpus_prep_pipeline", "semantic_dedup",
+    "sequence_packing", "corpus_prep_pipeline",
 )
 
 

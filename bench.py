@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     # round 8 additions
     "rag_context_pipeline",
+    "token_budget_mixture",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

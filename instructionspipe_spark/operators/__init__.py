@@ -44,6 +44,7 @@ from instructionspipe_spark.operators.sampling import (  # noqa: F401
     seeded_head,
     stratified_sample,
     temperature_mixture_sample,
+    token_budget_mixture,
     weighted_sample,
 )
 from instructionspipe_spark.operators.splitting import assign_shards, grouped_split  # noqa: F401

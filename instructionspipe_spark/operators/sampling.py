@@ -174,3 +174,86 @@ def temperature_mixture_sample(
     if rate_col:
         return out.withColumn(rate_col, F.round(F.col("__rate"), 6)).drop("__rate")
     return out.drop("__rate")
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_col: Column | str,
+    budgets: Column,
+    seed: int = 7,
+    bucket_chars: int = 1,
+) -> DataFrame:
+    """Fill a per-source TOKEN budget with a seeded sample — the mixture
+    primitive training pipelines actually need (mixture specs are written
+    in tokens, not documents): within each source, docs are ordered by a
+    seeded hash and the maximal PREFIX whose inclusive token cumsum stays
+    <= the source's budget is kept (contiguous prefix, so the selection is
+    a uniform random sample of the source truncated at the budget;
+    deterministic for a fixed seed under any partitioning).
+
+    ``budgets`` is a Column computing the budget from the source row (a
+    literal map lookup, a CASE, a join result materialized beforehand).
+
+    Scale shape — the naive formulation is one running-sum window
+    partitioned by source, which puts an entire (possibly huge) source on
+    ONE task. Here the seeded hash's first ``bucket_chars`` hex chars
+    split each source into 16^bucket_chars ordered buckets whose order is
+    a PREFIX of the global hash order, so budget allocation runs in two
+    phases: bucket-level token sums (tiny: sources x buckets rows) get a
+    bucket-prefix window on the driver-small frame; buckets entirely
+    inside the budget pass their rows through with NO row-level window,
+    buckets entirely past it drop, and only the single BOUNDARY bucket
+    per source (1/16th of the source at the default) pays the row-level
+    running sum. Raise ``bucket_chars`` to 2 (256 buckets) when a source
+    is large enough that 1/16th of it still skews a task.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    keyed = df.select(
+        F.col(source_col).alias("__src"),
+        F.col(id_col).alias("__id"),
+        F.coalesce(tok.cast("long"), F.lit(0)).alias("__tok"),
+        h.alias("__h"),
+        budgets.cast("long").alias("__budget"),
+    ).withColumn("__bucket", F.substring("__h", 1, bucket_chars))
+
+    bsums = keyed.groupBy("__src", "__budget", "__bucket").agg(
+        F.sum("__tok").alias("__bt")
+    )
+    wb = (
+        Window.partitionBy("__src")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bsums.withColumn("__before", F.coalesce(F.sum("__bt").over(wb), F.lit(0)))
+    verdict = bpre.select(
+        "__src",
+        "__bucket",
+        "__before",
+        F.when(F.col("__before") + F.col("__bt") <= F.col("__budget"), F.lit("all"))
+        # strictly-greater: at __before == __budget a bucket whose head rows
+        # are zero-token still contributes them (inclusive cumsum stays ==
+        # budget), exactly like the naive single-window rule
+        .when(F.col("__before") > F.col("__budget"), F.lit("none"))
+        .otherwise(F.lit("boundary"))
+        .alias("__verdict"),
+    )
+    tagged = keyed.join(F.broadcast(verdict), ["__src", "__bucket"])
+    whole = tagged.filter(F.col("__verdict") == "all")
+    wr = (
+        Window.partitionBy("__src", "__bucket")
+        .orderBy("__h", "__id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        tagged.filter(F.col("__verdict") == "boundary")
+        .withColumn("__cum", F.col("__before") + F.sum("__tok").over(wr))
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .drop("__cum")
+    )
+    picked = whole.unionByName(boundary).select(
+        F.col("__id").alias(id_col), F.col("__tok").alias("n_tokens")
+    )
+    return df.join(picked, id_col)

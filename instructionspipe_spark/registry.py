@@ -5695,3 +5695,54 @@ def rag_context_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df, embeddings, documents, MockLlm(),
         k_ctx=3, clip=160, preamble=_RAG_PREAMBLE, question=_RAG_QUESTION,
     )
+
+
+# ---------------------------------------------------------------------------
+# N39 (r8): token-budget mixture — mixture specs are written in TOKENS, not
+# documents. Two-phase budget allocation (bucket prefix sums; row-level
+# running sum only in the single boundary bucket per source) proven equal
+# to the oracle's naive per-source window by hash equality.
+# ---------------------------------------------------------------------------
+
+
+def _token_budget_oracle(seed: int = 7) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               COALESCE({_TOKEN_COUNT_SQL}, 0) AS t,
+               md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS h,
+               500 + 200 * (CAST(substr(source, 4) AS BIGINT) % 3) AS budget
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, t, budget,
+               SUM(t) OVER (PARTITION BY source ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT doc_id, source, t AS n_tokens, budget
+    FROM c WHERE cum <= budget
+    """
+
+
+@query("token_budget_mixture", oracle=_token_budget_oracle())
+def token_budget_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N39: fill per-source token budgets (500/700/900 tokens by source
+    index mod 3) with a seeded sample. The Spark side runs the two-phase
+    bucketed allocation (operators/sampling.py token_budget_mixture — no
+    source-sized window task); the oracle runs the literal naive
+    per-source running-sum window — hash equality proves the bucket
+    decomposition selects the identical prefix."""
+    from instructionspipe_spark.operators.sampling import token_budget_mixture
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    budget = F.lit(500) + F.lit(200) * (
+        F.substring("source", 4, 10).cast("long") % 3
+    )
+    out = token_budget_mixture(
+        documents, "source", "doc_id", ops.token_count(F.col("text")), budget, seed=7
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens",
+        (F.lit(500) + F.lit(200) * (F.substring("source", 4, 10).cast("long") % 3)).alias("budget"),
+    )

@@ -1366,3 +1366,40 @@ def test_char_entropy_engines_agree(spark):
             assert a[k] == e[k], k
         else:
             assert abs(a[k] - e[k]) <= 4e-16 * abs(a[k]), (k, a[k], e[k])
+
+
+def test_token_budget_mixture_semantics(spark):
+    """N39 two-phase allocation == naive per-source running-sum prefix,
+    including the edge the bucketing can get wrong: zero-token docs sitting
+    exactly at the budget boundary (inclusive cumsum == budget stays in)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.sampling import token_budget_mixture
+
+    rows = [(i, "s1" if i < 40 else "s2", (" word" * (i % 7)).strip()) for i in range(80)]
+    df = spark.createDataFrame(rows, ["id", "src", "text"])
+    toks = F.size(F.split(F.col("text"), " ")) - F.when(F.col("text") == "", 1).otherwise(0)
+    budget = F.when(F.col("src") == "s1", F.lit(30)).otherwise(F.lit(55))
+
+    for chars in (1, 2):
+        got = token_budget_mixture(
+            df, "src", "id", toks, budget, seed=3, bucket_chars=chars
+        )
+        # naive single-window reference
+        h = F.md5(F.concat(F.lit("3:"), F.col("id").cast("string")))
+        w = Window.partitionBy("src").orderBy(h, "id").rowsBetween(Window.unboundedPreceding, 0)
+        naive = (
+            df.withColumn("__t", F.coalesce(toks.cast("long"), F.lit(0)))
+            .withColumn("__cum", F.sum("__t").over(w))
+            .filter(F.col("__cum") <= budget)
+        )
+        assert sorted(r["id"] for r in got.collect()) == sorted(
+            r["id"] for r in naive.collect()
+        ), chars
+
+    # every kept set respects the budget and is non-trivial
+    kept = token_budget_mixture(df, "src", "id", toks, budget, seed=3)
+    sums = {r["src"]: r["s"] for r in kept.groupBy(F.col("src")).agg(F.sum("n_tokens").alias("s")).collect()}
+    assert sums["s1"] <= 30 and sums["s2"] <= 55
+    assert all(v > 0 for v in sums.values())
