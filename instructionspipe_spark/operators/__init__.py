@@ -36,6 +36,8 @@ from instructionspipe_spark.operators.dedup import (  # noqa: F401
     word_block_dedup,
     lsh_bucket_stats,
     semantic_dedup,
+    span_dedup,
+    span_dedup_stats,
 )
 from instructionspipe_spark.operators.sampling import (  # noqa: F401
     capped_group_sample,

@@ -1484,3 +1484,187 @@ def semantic_dedup(
             F.col("__l.__cos").alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window (suffix-array-style) span dedup — Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"
+# (arXiv:2107.06499). The paper's ExactSubstr dedup builds a suffix array,
+# which does not distribute; the standard cluster-scale approximation is
+# sliding k-token window hashing — every duplicated substring of >= k tokens
+# is covered by at least one duplicated k-gram window, so removing
+# repeated-window occurrences removes the long duplicated substrings the
+# suffix array would find (plus a bounded fringe of < k-1 tokens).
+# word_block_dedup (above) cuts NON-overlapping fixed blocks and misses any
+# duplicate that straddles a block boundary at a different offset; the
+# sliding window is offset-invariant.
+# ---------------------------------------------------------------------------
+
+
+def _span_frames(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared sliding-span machinery: ``base`` = (__id, __w, __n) per doc,
+    ``spans`` = (__id, __i, __h) per k-token window (1-based start position;
+    __h = md5 of the space-joined window text). Stage order per the Generate
+    rule: explode the cheap start INDEX, slice/join/hash per exploded row in
+    codegen — never materialize the k-token strings under Generate.
+
+    Hashing to a fixed-width md5 before the shuffle keeps the exchange
+    payload bounded (32 hex chars) regardless of token lengths; md5 (not
+    xxhash64) because the DuckDB oracle computes the identical digest, so
+    parity is structural."""
+    assert k >= 2
+    from instructionspipe_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("__id"), words.alias("__w")
+    ).select("__id", "__w", F.size("__w").cast("long").alias("__n"))
+    # sequence(1, 0) would be DESCENDING, not empty — guard short docs.
+    spans = (
+        base.filter(F.col("__n") >= k)
+        .select(
+            "__id",
+            "__w",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__n") - (k - 1))
+            ).alias("__i"),
+        )
+        .select(
+            "__id",
+            "__i",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("__w"), F.col("__i").cast("int"), k))
+            ).alias("__h"),
+        )
+    )
+    return base, spans
+
+
+def span_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 12
+) -> DataFrame:
+    """Per-document duplicated-span census: for every document, how many of
+    its sliding ``k``-token windows occur MORE than once in the corpus
+    (counting all occurrences, intra-document repeats included — Lee et al.
+    dedup any span occurring >= 2 times anywhere).
+
+    Output: ``(id_col, n_spans, n_dup_spans, dup_frac)``; docs shorter than
+    ``k`` tokens have 0 spans and dup_frac 0.0. Run this BEFORE
+    :func:`span_dedup` to size the cut (the diagnostic-first pattern of
+    lsh_bucket_stats).
+
+    Scale shape: one explode of window indexes; the census is a groupBy on
+    the span md5 — partial aggregation collapses a boilerplate span occurring
+    10^9 times map-side, so the shuffle carries one row per DISTINCT span;
+    the count joins back span-keyed (AQE handles residual skew), and the
+    per-doc rollup is one groupBy on the doc id. No pairwise anything,
+    no windows over hot keys.
+    """
+    base, spans = _span_frames(df, id_col, text_col, k)
+    counts = spans.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        spans.join(counts, "__h")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    n_spans = F.coalesce(F.col("n_spans"), F.lit(0).cast("long"))
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long"))
+    return (
+        base.select("__id")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            n_spans.alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            F.round(
+                F.when(n_spans == 0, F.lit(0.0)).otherwise(
+                    n_dup.cast("double") / n_spans
+                ),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def span_dedup(
+    df: DataFrame, id_col: str, text_col: str, k: int = 12
+) -> DataFrame:
+    """Sliding-window exact span dedup: every ``k``-token window text that
+    occurs more than once in the corpus survives only at its FIRST
+    occurrence (minimal ``(doc_id, position)``); every token position
+    covered by any other occurrence of a duplicated window is removed, and
+    documents are reassembled from the surviving tokens in order.
+
+    Deterministic masking rule (identical in the DuckDB oracle): a token
+    position is cut iff it lies inside >= 1 non-first occurrence of a
+    duplicated window — including self-overlapping repeats ("a a a a ...")
+    inside one document. Docs shorter than ``k`` pass through unchanged.
+
+    Output: ``(id_col, text, n_tokens, n_removed)``.
+
+    Scale shape: window-index explode + md5 shuffle as in
+    :func:`span_dedup_stats`; first-occurrence election is the same
+    two-phase groupBy-min(struct) + join-back as word_block_dedup — a hot
+    boilerplate span collapses map-side, never on one task. The coverage
+    explode multiplies only NON-FIRST duplicated occurrences by k (bounded
+    by the duplicated mass, not the corpus); kept-token election is one
+    left-anti join on (doc, position) and reassembly one groupBy on the doc
+    id.
+    """
+    base, spans = _span_frames(df, id_col, text_col, k)
+    elected = spans.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct("__id", "__i")).alias("__first"),
+    )
+    droppers = (
+        spans.join(elected.filter(F.col("__c") > 1), "__h")
+        .filter(
+            ~(
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("__i") == F.col("__first.__i"))
+            )
+        )
+        .select("__id", "__i")
+    )
+    covered = droppers.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("__i"), F.col("__i") + (k - 1))
+        ).alias("__pos"),
+    ).distinct()
+    toks = base.select(
+        "__id",
+        F.posexplode("__w").alias("__p0", "__tok"),
+    ).select("__id", (F.col("__p0") + 1).cast("long").alias("__pos"), "__tok")
+    kept = toks.join(covered, ["__id", "__pos"], "left_anti")
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        base.select("__id", F.col("__n").alias("n_tokens"))
+        .join(reassembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_tokens",
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("__n_kept"), F.lit(0).cast("long"))
+            ).alias("n_removed"),
+        )
+    )

@@ -1664,6 +1664,100 @@ def lm_corpus_blocks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.lm_block_manifest(with_tok, "doc_id", "n_tokens", "lang", capacity=256)
 
 
+def _span_dedup_stats_oracle(k: int = 12) -> str:
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(w[CAST(i AS BIGINT) : CAST(i + {k} - 1 AS BIGINT)], ' ')) AS h
+        FROM base, UNNEST(range(1, len(w) - {k} + 2)) AS t(i)
+    ),
+    cnt AS (SELECT h, COUNT(*) AS c FROM spans GROUP BY h),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        FROM spans JOIN cnt USING (h) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+           ROUND(CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+                      ELSE CAST(p.n_dup_spans AS DOUBLE) / p.n_spans END, 4) AS dup_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+@query("span_dedup_stats", oracle=_span_dedup_stats_oracle())
+def span_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window duplicated-span census (operators/dedup.py:
+    span_dedup_stats): per document, how many of its 12-token sliding
+    windows occur more than once corpus-wide — the distributed stand-in for
+    Lee et al. 2021's suffix-array ExactSubstr statistics, and the sizing
+    diagnostic run before span_dedup. One window-index explode, one
+    map-side-combining groupBy on the span md5, one span-keyed join back,
+    one per-doc rollup."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.span_dedup_stats(documents, "doc_id", "text", k=12)
+
+
+def _span_dedup_oracle(k: int = 12) -> str:
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               md5(array_to_string(w[CAST(i AS BIGINT) : CAST(i + {k} - 1 AS BIGINT)], ' ')) AS h
+        FROM base, UNNEST(range(1, len(w) - {k} + 2)) AS t(i)
+    ),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) > 1),
+    occ AS (
+        SELECT s.doc_id, s.i,
+               ROW_NUMBER() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.i) AS rn
+        FROM spans s JOIN dup USING (h)
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+        FROM occ, UNNEST(range(i, i + {k})) AS t(p) WHERE rn > 1
+    ),
+    toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, w[CAST(i AS BIGINT)] AS tok
+        FROM base, UNNEST(range(1, len(w) + 1)) AS t(i)
+    ),
+    keptt AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks t
+        LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.doc_id IS NULL
+    ),
+    reasm AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text, COUNT(*) AS n_kept
+        FROM keptt GROUP BY doc_id
+    )
+    SELECT b.doc_id, COALESCE(r.text, '') AS text,
+           CAST(len(b.w) AS BIGINT) AS n_tokens,
+           CAST(len(b.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN reasm r USING (doc_id)
+    """
+
+
+@query("span_dedup", oracle=_span_dedup_oracle())
+def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact span dedup (operators/dedup.py:span_dedup):
+    every duplicated 12-token window survives only at its first
+    (min doc_id, position) occurrence; all token positions covered by other
+    occurrences are cut and documents reassemble from the survivors —
+    offset-invariant, unlike word_block_dedup's fixed blocks. Two-phase
+    min-struct election on the span md5 (hot spans collapse map-side),
+    coverage explode bounded by the duplicated mass, one left-anti token
+    election, one reassembly groupBy."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.span_dedup(documents, "doc_id", "text", k=12)
+
+
 def _greedy_packing_oracle(capacity: int = 512, modulus: int = 7) -> str:
     return rf"""
     WITH RECURSIVE tok AS (

@@ -1403,3 +1403,69 @@ def test_token_budget_mixture_semantics(spark):
     sums = {r["src"]: r["s"] for r in kept.groupBy(F.col("src")).agg(F.sum("n_tokens").alias("s")).collect()}
     assert sums["s1"] <= 30 and sums["s2"] <= 55
     assert all(v > 0 for v in sums.values())
+
+
+def test_span_dedup_semantics(spark):
+    """Sliding-window span dedup is offset-invariant (catches the duplicate
+    word_block_dedup's fixed blocks miss), applies the documented
+    self-overlap rule, and passes short/NULL docs through."""
+    from instructionspipe_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # first occurrence of "a b c d"
+            (1, "x x a b c d y y"),    # same 4-gram at offset 2: cut
+            (2, "m m m m m m"),        # self-overlapping repeat
+            (3, "p q r"),              # shorter than k: untouched
+            (4, None),                 # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup(docs, "doc_id", "text", k=4).collect()}
+    assert (rows[0]["text"], rows[0]["n_tokens"], rows[0]["n_removed"]) == ("a b c d e f", 6, 0)
+    # positions 3-6 (the non-first occurrence) cut, flanks survive
+    assert (rows[1]["text"], rows[1]["n_tokens"], rows[1]["n_removed"]) == ("x x y y", 8, 4)
+    # "m m m m" occurs at 1,2,3; droppers 2 and 3 cover positions 2-6,
+    # leaving only position 1 — the documented self-overlap rule
+    assert (rows[2]["text"], rows[2]["n_tokens"], rows[2]["n_removed"]) == ("m", 6, 5)
+    assert (rows[3]["text"], rows[3]["n_tokens"], rows[3]["n_removed"]) == ("p q r", 3, 0)
+    assert rows[4]["text"] == "" and rows[4]["n_tokens"] is None
+
+
+def test_span_dedup_stats_census(spark):
+    """Per-doc duplicated-span census counts every position whose k-gram
+    occurs >= 2 times corpus-wide (intra-document repeats included)."""
+    from instructionspipe_spark.operators.dedup import span_dedup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "x x a b c d y y"),
+            (2, "m m m m m m"),
+            (3, "p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup_stats(docs, "doc_id", "text", k=4).collect()}
+    assert (rows[0]["n_spans"], rows[0]["n_dup_spans"], rows[0]["dup_frac"]) == (3, 1, 0.3333)
+    assert (rows[1]["n_spans"], rows[1]["n_dup_spans"], rows[1]["dup_frac"]) == (5, 1, 0.2)
+    assert (rows[2]["n_spans"], rows[2]["n_dup_spans"], rows[2]["dup_frac"]) == (3, 3, 1.0)
+    assert (rows[3]["n_spans"], rows[3]["n_dup_spans"], rows[3]["dup_frac"]) == (0, 0, 0.0)
+
+
+def test_span_dedup_two_phase_plan(spark):
+    """First-occurrence election must be the skew-safe groupBy-min +
+    join-back (map-side combine on the span hash), never a window over the
+    hash — a boilerplate span repeated corpus-wide would serialize on one
+    window task."""
+    from instructionspipe_spark.operators.dedup import span_dedup, span_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(i, "same boiler plate text here again " * 3) for i in range(40)],
+        "doc_id long, text string",
+    )
+    for op in (span_dedup, span_dedup_stats):
+        out = op(docs, "doc_id", "text", k=6)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, op.__name__
+        out.collect()
