@@ -5840,3 +5840,72 @@ def token_budget_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens",
         (F.lit(500) + F.lit(200) * (F.substring("source", 4, 10).cast("long") % 3)).alias("budget"),
     )
+
+
+@query(
+    "streaming_join_equiv",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS error_id, a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'click' AND b.event_type = 'error'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def streaming_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join equals the batch join: clicks joined to
+    same-user errors within the following 6 hours, run as a REAL two-sided
+    Structured Streaming join (state store on both sides, watermark-driven
+    eviction) over a CHRONOLOGICALLY SPLIT two-micro-batch replay — the
+    first file holds the older half of events, the second the newer half,
+    so boundary clicks must survive in the join state across the batch
+    gap to meet their batch-2 errors. The time bound keeps the
+    equivalence exact: batch-1 watermark lands 1 h behind the batch-1 max,
+    every retained click still has its full 6 h match horizon ahead of the
+    watermark, and batch-2 rows are all newer than it, so nothing needed
+    is evicted and nothing is late-dropped — append-mode output is exactly
+    the batch join. (The streaming construct word_block-era file twins
+    can't express: §2.10's only two-sided stateful operator.)"""
+    _t(spark, sf_dir, "events")
+    from instructionspipe_spark.streaming.jobs import run_stream_to_df, stream_interval_join
+
+    src = os.path.join(sf_dir, "events.parquet").replace("'", "''")
+    half = (
+        f"(SELECT min(ts) + (max(ts) - min(ts)) / 2 AS c FROM '{src}')"
+    )
+    scratch = _stream_twin_inputs(
+        sf_dir,
+        "ssjoin_v1",
+        [
+            (
+                "a.parquet",
+                f"SELECT event_id, ts, user_id, event_type FROM '{src}' "
+                f"WHERE ts <= {half} ORDER BY ts",
+            ),
+            (
+                "b.parquet",
+                f"SELECT event_id, ts, user_id, event_type FROM '{src}' "
+                f"WHERE ts > {half} ORDER BY ts",
+            ),
+        ],
+    )
+    stream = _events_stream(spark, scratch, max_files=1)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    errors = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    joined = stream_interval_join(
+        clicks, errors, ["user_id"], "c_ts", "e_ts", "6 hours", watermark="1 hour"
+    )
+    out = run_stream_to_df(
+        joined.select(
+            "click_id",
+            "error_id",
+            "user_id",
+            (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        ),
+        "append",
+    )
+    return out

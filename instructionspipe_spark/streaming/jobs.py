@@ -435,3 +435,45 @@ def streaming_band_matches(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: rows pair when their ``key_cols``
+    are equal and ``right_ts`` falls within ``[left_ts, left_ts + upper]``
+    (``upper`` an interval literal body, e.g. ``"6 hours"``).
+
+    Both sides get a watermark so the state store evicts: a left row is
+    droppable once ``left_ts + upper`` falls behind the watermark, a right
+    row once ``right_ts`` does — without the time bound the join would
+    buffer both streams forever. Sides must share ONLY the key columns
+    (pre-rename payload/ts columns); the joined frame keeps one copy of the
+    keys. Inner joins emit eagerly per micro-batch, so append-mode results
+    are exactly the batch join of everything on time — the property the
+    ``streaming_join_equiv`` oracle row pins.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if overlap:
+        raise ValueError(f"non-key columns shared across sides: {sorted(overlap)}")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in key_cols:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.expr(f"`{left_ts}` + interval {upper}"))
+    )
+    out = lw.join(rw, cond, "inner")
+    for k in key_cols:
+        out = out.drop(rw[k])
+    return out

@@ -408,3 +408,72 @@ def test_streaming_band_matches_vs_batch(spark, tmp_path):
     assert {(i, d) for i, d, _ in got} == {(101, 1), (102, 1)}
     for doc_id, dup_of, jac in got:
         assert jac == verdicts[doc_id]["jaccard"]
+
+
+def test_stream_interval_join_cross_batch(spark, tmp_path):
+    """Stream-stream interval join: an in-batch pair AND a pair whose click
+    arrives a micro-batch before its error must both emit — the click
+    survives in the join state across the batch boundary (its 6h match
+    horizon is ahead of the batch-1 watermark); an out-of-bound error
+    (lag > 6h) and a keyless error must not."""
+    from instructionspipe_spark.streaming.jobs import (
+        read_jsonl_stream,
+        run_stream_to_df,
+        stream_interval_join,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("user", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    _write_jsonl(
+        src,
+        "b0.jsonl",
+        [
+            {"id": 10, "user": 1, "kind": "click", "ts": "2024-01-01T10:00:00.000Z"},
+            {"id": 11, "user": 2, "kind": "click", "ts": "2024-01-01T10:05:00.000Z"},
+            {"id": 90, "user": 1, "kind": "error", "ts": "2024-01-01T09:00:00.000Z"},
+            {"id": 91, "user": 2, "kind": "error", "ts": "2024-01-01T10:10:00.000Z"},
+        ],
+    )
+    _write_jsonl(
+        src,
+        "b1.jsonl",
+        [
+            {"id": 92, "user": 1, "kind": "error", "ts": "2024-01-01T11:00:00.000Z"},
+            {"id": 93, "user": 2, "kind": "error", "ts": "2024-01-01T17:30:00.000Z"},
+            {"id": 94, "user": 3, "kind": "error", "ts": "2024-01-01T11:00:00.000Z"},
+        ],
+    )
+    # replay oldest-first as two micro-batches
+    os.utime(os.path.join(src, "b0.jsonl"), (1_700_000_000, 1_700_000_000))
+    os.utime(os.path.join(src, "b1.jsonl"), (1_700_000_100, 1_700_000_100))
+    stream = read_jsonl_stream(spark, src, schema, max_files_per_trigger=1)
+    clicks = stream.filter(F.col("kind") == "click").select(
+        F.col("id").alias("click_id"), "user", F.col("ts").alias("c_ts")
+    )
+    errors = stream.filter(F.col("kind") == "error").select(
+        F.col("id").alias("error_id"), "user", F.col("ts").alias("e_ts")
+    )
+    joined = stream_interval_join(
+        clicks, errors, ["user"], "c_ts", "e_ts", "6 hours", watermark="1 hour"
+    )
+    got = run_stream_to_df(joined.select("click_id", "error_id"), "append")
+    pairs = sorted((r["click_id"], r["error_id"]) for r in got.collect())
+    assert pairs == [(10, 92), (11, 91)]
+
+
+def test_stream_interval_join_rejects_overlap(spark):
+    """Non-key columns shared across sides would silently make the join
+    ambiguous — the helper refuses up front."""
+    from instructionspipe_spark.streaming.jobs import stream_interval_join
+
+    left = spark.createDataFrame([], "user long, ts timestamp, payload string")
+    right = spark.createDataFrame([], "user long, ts timestamp, payload string")
+    with pytest.raises(ValueError, match="payload"):
+        stream_interval_join(left, right, ["user"], "ts", "ts", "1 hour")
