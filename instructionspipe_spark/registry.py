@@ -5909,3 +5909,49 @@ def streaming_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact⋈fact layout, oracle-gated (sources/bucketing.py):
+    orders and lineitem are (re)written bucketed+sorted by orderkey into
+    the session warehouse, then joined via CATALOG scans with a merge
+    hint — the executed plan is a sort-merge join with ZERO Exchange and
+    zero Sort on either side (bucket files are pre-hashed and pre-sorted;
+    tests/test_plans.py pins the no-Exchange contract). The write is a
+    build-time action, so this row is excluded from BENCH_QUERIES like the
+    other build-side rows. Hash equality against the plain-join oracle
+    proves the layout changes the physical plan, never the result."""
+    from instructionspipe_spark.sources.bucketing import bucketed, write_bucketed
+
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_lineitem = f"ip_bkt_orders_{tag}", f"ip_bkt_lineitem_{tag}"
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderpriority"),
+        t_orders, ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        t_lineitem, ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+    )
+    j = bucketed(spark, t_orders).hint("merge").join(
+        bucketed(spark, t_lineitem),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")),
+            2,
+        ).cast("double").alias("revenue"),
+    )

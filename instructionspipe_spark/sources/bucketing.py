@@ -39,6 +39,21 @@ def write_bucketed(
     sort-merge join skip its Sort nodes too. ``path`` makes the table
     external (data at ``path``, metadata in the session catalog).
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # A managed-table LOCATION can outlive the catalog entry (the
+        # warehouse dir persists across sessions, the in-memory catalog does
+        # not); saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
+        # overwrite mode. Drop the entry and clear an orphaned location.
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        if path is None:
+            jvm = spark._jvm
+            loc = jvm.org.apache.hadoop.fs.Path(
+                spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+            )
+            fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(loc):
+                fs.delete(loc, True)
     writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -309,3 +309,15 @@ def test_rag_assemble_retriever_swap(spark):
     # answers are the mock md5 of the assembled prompt: stable across runs
     assert rows_b == sorted(map(tuple, rag_assemble(
         queries, corpus, docs, MockLlm(), k_ctx=2, clip=40).collect()))
+
+
+def test_bucketed_join_row_is_colocated(spark):
+    """The bucketed_join_revenue registry row must execute as a sort-merge
+    join fed DIRECTLY by the bucketed catalog scans: the only Exchange in
+    the whole plan is the final groupBy's — neither join side reshuffles
+    (the on-disk bucket layout already hash-partitions them), and the scans
+    carry the bucket metadata ('SelectedBucketsCount')."""
+    plan = _plan(spark, "bucketed_join_revenue")
+    assert "SortMergeJoin" in plan
+    assert plan.count("+- Exchange") == 1  # tree section: one node, the agg's
+    assert "SelectedBucketsCount: 8 out of 8" in plan
