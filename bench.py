@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     # round 8 additions
     "rag_context_pipeline",
     "token_budget_mixture",
+    "span_dedup_stats",
+    "span_dedup",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.
@@ -103,6 +105,9 @@ BENCH_QUERIES = [
     # run_config_pipeline / run_judge_config_metrics (full sink writes at
     # build, the returned frame is a read-back) are excluded for the same
     # reason; their runtime is visible in the oracle-differential timings.
+    # late-r8: bucketed_join_revenue excluded too (bucketed-table writes at
+    # build); streaming_join_equiv drains in bench --streaming like the
+    # other streaming twins.
 ]
 
 
@@ -774,6 +779,7 @@ STREAMING_QUERIES = [
     ("streaming_late_drop_equiv", "events"),
     ("streaming_dedup_equiv", "events"),
     ("streaming_stateful_counts_equiv", "events"),
+    ("streaming_join_equiv", "events"),
     ("streaming_band_admission", "documents"),
     ("streaming_llm_cache_equiv", "documents"),
 ]
