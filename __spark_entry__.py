@@ -29,7 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate rotation: the driver's correctness harness samples the FIRST 50
 # entries of queries(). Round-8 priority order (VERDICT_r7 "Next round" #2:
 # no registry query's newest gate record should be older than two rounds):
-# 1. The FOUR new r8 queries: the config-runner end-to-end rows
+# 1. The new r8 queries (early-r8 four + late-r8 five: span dedup pair,
+#    stream-stream join, bucketed join, partition pruning):
+#    the config-runner end-to-end rows
 #    (run_config_pipeline, run_judge_config_metrics — VERDICT item 1,
 #    closing the last pytest-only family), the most_dup greedy dedup
 #    (lsh_dedup_most_dup — VERDICT item 3, closing the last semantic cut),
@@ -47,7 +49,7 @@ _GATE_FIRST = (
     "run_config_pipeline", "run_judge_config_metrics", "lsh_dedup_most_dup",
     "rag_context_pipeline", "token_budget_mixture",
     "span_dedup", "span_dedup_stats", "streaming_join_equiv",
-    "bucketed_join_revenue",
+    "bucketed_join_revenue", "partitioned_scan_pruning",
     # -- stalest: last gated r5 --------------------------------------------
     "q8_market_share", "q10_returned_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "grouping_sets_revenue",
@@ -65,10 +67,10 @@ _GATE_FIRST = (
     "streaming_tumbling_equiv", "streaming_band_admission",
     "word_block_dedup", "q6_forecast_revenue", "minhash_signatures",
     "minhash_lsh_dedup", "jaccard_pairs_lsh", "near_dup_components",
-    "embedding_near_dup",
-    # (similarity_brute_topk, cluster_best_survivor, sequence_packing,
-    # corpus_prep_pipeline rotated out to fit the 4 new rows — they were
-    # r6-gated, so they lead the r9 rotation with the rest of that cohort.)
+    # (embedding_near_dup, similarity_brute_topk, cluster_best_survivor,
+    # sequence_packing, corpus_prep_pipeline rotated out to fit the 5 new
+    # rows — they were r6-gated, so they lead the r9 rotation with the rest
+    # of that cohort.)
 )
 
 

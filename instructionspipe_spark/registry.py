@@ -5114,6 +5114,25 @@ def semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _layout_scratch(sf_dir: str, name: str, df: DataFrame, partition_by: str) -> str:
+    """Materialize a hive-partitioned copy of a table once per sf_dir via
+    the library's own partitioned writer (the layout rows' ingest fixture —
+    dirs like ``evt_date=2024-01-08/``, partition values in the DIRECTORY
+    ONLY, never duplicated into the data files). Idempotent via a _DONE
+    marker; bump the ``name`` version tag when the generator changes."""
+    from instructionspipe_spark.sources.io import write_parquet
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    scratch = os.path.join(root, ".layout_scratch", sf_name, name)
+    done = os.path.join(scratch, "_DONE")
+    if not os.path.exists(done):
+        write_parquet(df, scratch, partition_by=[partition_by])
+        with open(done, "w") as f:
+            f.write("ok")
+    return scratch
+
+
 def _stream_twin_inputs(sf_dir: str, name: str, sqls: list) -> str:
     """Materialize a twin's file-sequenced inputs once per sf_dir: each
     (fname, duckdb SELECT) pair becomes one parquet file with an explicitly
@@ -5954,4 +5973,49 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")),
             2,
         ).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "partitioned_scan_pruning",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY event_type
+    """,
+)
+def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-directory pruning, oracle-gated — the ingest-side sibling
+    of bucketed_join_revenue: events land date-partitioned
+    (``evt_date=YYYY-MM-DD/`` hive dirs, the sources/io.py write_parquet
+    partition_by layout), and a one-week filter on the partition column is
+    answered by LISTING — the scan touches 7 of ~30 directories and the
+    plan carries the predicate as PartitionFilters, not a data filter
+    (pinned in tests/test_plans.py). At 100 TB this is the difference
+    between reading a month and reading a week; every time-ranged query in
+    the registry assumes this layout at the ingest boundary. Hash equality
+    against the unpartitioned oracle proves the layout moves the predicate,
+    never the result."""
+    (raw,) = _t(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    scratch = _layout_scratch(
+        sf_dir,
+        "events_by_date_v2",
+        raw.withColumn("evt_date", F.to_date("ts")),
+        "evt_date",
+    )
+    events = spark.read.parquet(scratch)
+    return (
+        events.filter(
+            F.col("evt_date").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
     )

@@ -321,3 +321,20 @@ def test_bucketed_join_row_is_colocated(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("+- Exchange") == 1  # tree section: one node, the agg's
     assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """The partitioned_scan_pruning row's week filter must run as partition
+    PRUNING: the predicate appears in PartitionFilters (answered by the
+    directory listing), no evt_date filter remains on the data path, and
+    the scan reports touching only the 7 in-range partitions."""
+    plan = _plan(spark, "partitioned_scan_pruning")
+    assert "PartitionFilters" in plan
+    assert "evt_date" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # pruned listing: the scan's selected partitions are the 7 in-range
+    # directories, not the ~30-day month (asked of the physical scan node
+    # itself — explain text does not print the count)
+    df = entrymod.queries()["partitioned_scan_pruning"](spark, SF)
+    leaf = df._jdf.queryExecution().sparkPlan().collectLeaves().apply(0)
+    n_sel = leaf.selectedPartitions().partitionCount()
+    assert n_sel == 7, n_sel
