@@ -249,3 +249,80 @@ def test_char_entropy_engines_property(spark, texts):
         assert r["arrow"] == r["expr"]
         if r["nd"] is not None and r["nd"] > 0:
             assert 0.0 <= r["arrow"] <= round(math.log2(r["nd"]), 6) + 1e-6
+
+
+@st.composite
+def span_corpora(draw):
+    """Small corpora from a 3-word vocabulary — dense k-gram collisions by
+    construction, so duplicated spans, self-overlap runs, and short docs
+    all occur organically."""
+    n_docs = draw(st.integers(1, 6))
+    docs = []
+    for i in range(n_docs):
+        n = draw(st.integers(0, 12))
+        words = [draw(st.sampled_from(["a", "b", "c"])) for _ in range(n)]
+        docs.append((i, " ".join(words)))
+    k = draw(st.integers(2, 4))
+    return docs, k
+
+
+def _span_dedup_reference(docs: list, k: int):
+    """Pure-Python oracle for span_dedup's documented rule: every k-gram
+    occurring >= 2 times survives only at its minimal (doc, pos); any token
+    position covered by a NON-FIRST occurrence is cut."""
+    toks = {i: (t.split() if t else []) for i, t in docs}
+    occ: dict = {}
+    for i, w in sorted(toks.items()):
+        for p in range(len(w) - k + 1):
+            occ.setdefault(tuple(w[p : p + k]), []).append((i, p))
+    covered = set()
+    for places in occ.values():
+        if len(places) > 1:
+            for (i, p) in sorted(places)[1:]:
+                for q in range(p, p + k):
+                    covered.add((i, q))
+    out = {}
+    for i, w in toks.items():
+        kept = [t for q, t in enumerate(w) if (i, q) not in covered]
+        out[i] = (" ".join(kept), len(w), len(w) - len(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(span_corpora())
+def test_span_dedup_matches_reference(spark, data):
+    """span_dedup must agree with the brute-force per-position reference on
+    dense random corpora (text, n_tokens, n_removed all equal), and
+    span_dedup_stats' census must equal the reference's duplicated-position
+    count derived the same way."""
+    from instructionspipe_spark.operators.dedup import span_dedup, span_dedup_stats
+
+    docs, k = data
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    expected = _span_dedup_reference(docs, k)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in span_dedup(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == expected
+
+    # stats census: per-doc count of positions whose k-gram occurs >= 2 times
+    toks = {i: (t.split() if t else []) for i, t in docs}
+    occ: dict = {}
+    for i, w in sorted(toks.items()):
+        for p in range(len(w) - k + 1):
+            occ.setdefault(tuple(w[p : p + k]), []).append((i, p))
+    exp_stats = {}
+    for i, w in toks.items():
+        n_spans = max(len(w) - k + 1, 0)
+        n_dup = sum(
+            1
+            for p in range(n_spans)
+            if len(occ[tuple(w[p : p + k])]) > 1
+        )
+        exp_stats[i] = (n_spans, n_dup)
+    got_stats = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dedup_stats(df, "doc_id", "text", k=k).collect()
+    }
+    assert got_stats == exp_stats
