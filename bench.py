@@ -781,6 +781,7 @@ STREAMING_QUERIES = [
     ("streaming_dedup_equiv", "events"),
     ("streaming_stateful_counts_equiv", "events"),
     ("streaming_join_equiv", "events"),
+    ("streaming_outer_join_equiv", "events"),
     ("streaming_band_admission", "documents"),
     ("streaming_llm_cache_equiv", "documents"),
 ]

@@ -6019,3 +6019,84 @@ def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "streaming_outer_join_equiv",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS error_id, a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def streaming_outer_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join equals the batch left join —
+    the half of the join family where the STATE MACHINE is the semantics:
+    a matched click emits eagerly, an unmatched click emits its NULL row
+    only when the GLOBAL watermark (min of both sides') passes
+    click_ts + bound, at state eviction. The replay appends two far-future
+    SENTINEL batches after the chronological halves — each carries one
+    click and one error under user_id -1 (filtered from the output), so
+    BOTH sides' watermarks jump past every real click's horizon and the
+    runtime must flush every unmatched click's null row before the drain
+    ends; two sentinel batches, not one, per the measured activation
+    asymmetry (a watermark jump acts a batch late on some paths — the
+    streaming_late_drop_equiv lesson). Hash equality against the batch
+    LEFT JOIN proves both the eager-match and the eviction-time-null
+    paths."""
+    _t(spark, sf_dir, "events")
+    from instructionspipe_spark.streaming.jobs import run_stream_to_df, stream_interval_join
+
+    src = os.path.join(sf_dir, "events.parquet").replace("'", "''")
+    half = f"(SELECT min(ts) + (max(ts) - min(ts)) / 2 AS c FROM '{src}')"
+
+    def sentinel(hours: int) -> str:
+        return (
+            f"SELECT CAST(-1 AS BIGINT) AS event_id, mx + INTERVAL {hours} HOUR AS ts, "
+            f"CAST(-1 AS BIGINT) AS user_id, kind AS event_type "
+            f"FROM (SELECT MAX(ts) AS mx FROM '{src}'), "
+            f"UNNEST(['click', 'error']) AS t(kind)"
+        )
+
+    scratch = _stream_twin_inputs(
+        sf_dir,
+        "ssouterjoin_v1",
+        [
+            (
+                "a.parquet",
+                f"SELECT event_id, ts, user_id, event_type FROM '{src}' "
+                f"WHERE ts <= {half} ORDER BY ts",
+            ),
+            (
+                "b.parquet",
+                f"SELECT event_id, ts, user_id, event_type FROM '{src}' "
+                f"WHERE ts > {half} ORDER BY ts",
+            ),
+            ("s1.parquet", sentinel(8)),
+            ("s2.parquet", sentinel(9)),
+        ],
+    )
+    stream = _events_stream(spark, scratch, max_files=1)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    errors = stream.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    joined = stream_interval_join(
+        clicks, errors, ["user_id"], "c_ts", "e_ts", "6 hours",
+        watermark="1 hour", how="left_outer",
+    )
+    out = run_stream_to_df(
+        joined.select(
+            "click_id",
+            "error_id",
+            "user_id",
+            (F.unix_micros("e_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        ),
+        "append",
+    )
+    return out.filter(F.col("user_id") >= 0)

@@ -445,8 +445,9 @@ def stream_interval_join(
     right_ts: str,
     upper: str,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER interval join: rows pair when their ``key_cols``
+    """Stream-stream interval join: rows pair when their ``key_cols``
     are equal and ``right_ts`` falls within ``[left_ts, left_ts + upper]``
     (``upper`` an interval literal body, e.g. ``"6 hours"``).
 
@@ -455,25 +456,35 @@ def stream_interval_join(
     row once ``right_ts`` does — without the time bound the join would
     buffer both streams forever. Sides must share ONLY the key columns
     (pre-rename payload/ts columns); the joined frame keeps one copy of the
-    keys. Inner joins emit eagerly per micro-batch, so append-mode results
-    are exactly the batch join of everything on time — the property the
-    ``streaming_join_equiv`` oracle row pins.
+    keys. Inner joins (``how="inner"``) emit eagerly per micro-batch, so
+    append-mode results are exactly the batch join of everything on time —
+    the property the ``streaming_join_equiv`` oracle row pins. With
+    ``how="left_outer"`` an unmatched left row emits its null-padded row
+    only at STATE EVICTION — when the global watermark passes
+    ``left_ts + upper`` — so a bounded drain needs the watermark pushed
+    past every left row's horizon before it ends (the sentinel-batch
+    pattern of ``streaming_outer_join_equiv``).
     """
     overlap = (set(left.columns) & set(right.columns)) - set(key_cols)
     if overlap:
         raise ValueError(f"non-key columns shared across sides: {sorted(overlap)}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
+    # Self-joins of one source stream carry the SAME attribute lineage on
+    # both sides, so dropping `rw[k]` post-join can resolve to the LEFT
+    # attribute — on an outer join that silently keeps the null right-side
+    # key and loses the left's (probed in-session: every null-extension row
+    # lost its key). Rename the right keys pre-join and drop by NAME.
+    for k in key_cols:
+        rw = rw.withColumnRenamed(k, f"__rk_{k}")
     cond = None
     for k in key_cols:
-        c = lw[k] == rw[k]
+        c = F.col(k) == F.col(f"__rk_{k}")
         cond = c if cond is None else cond & c
     cond = (
         cond
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.expr(f"`{left_ts}` + interval {upper}"))
     )
-    out = lw.join(rw, cond, "inner")
-    for k in key_cols:
-        out = out.drop(rw[k])
-    return out
+    out = lw.join(rw, cond, how)
+    return out.drop(*[f"__rk_{k}" for k in key_cols])

@@ -477,3 +477,65 @@ def test_stream_interval_join_rejects_overlap(spark):
     right = spark.createDataFrame([], "user long, ts timestamp, payload string")
     with pytest.raises(ValueError, match="payload"):
         stream_interval_join(left, right, ["user"], "ts", "ts", "1 hour")
+
+
+def test_stream_interval_join_left_outer_null_emission(spark, tmp_path):
+    """Left-outer stream-stream join: a matched click emits eagerly and
+    exactly once; an unmatched click emits its null-extension row only
+    after the global watermark passes its match horizon — forced here by
+    two far-future sentinel batches on BOTH sides (one batch is not enough:
+    a watermark jump acts a batch late on the eviction path)."""
+    from instructionspipe_spark.streaming.jobs import (
+        read_jsonl_stream,
+        run_stream_to_df,
+        stream_interval_join,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("user", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    files = [
+        ("b0.jsonl", [
+            {"id": 10, "user": 1, "kind": "click", "ts": "2024-01-01T10:00:00.000Z"},
+            {"id": 11, "user": 2, "kind": "click", "ts": "2024-01-01T10:05:00.000Z"},
+            {"id": 90, "user": 1, "kind": "error", "ts": "2024-01-01T11:00:00.000Z"},
+        ]),
+        ("b1.jsonl", [
+            {"id": -1, "user": -1, "kind": "click", "ts": "2024-01-02T12:00:00.000Z"},
+            {"id": -2, "user": -1, "kind": "error", "ts": "2024-01-02T12:00:00.000Z"},
+        ]),
+        ("b2.jsonl", [
+            {"id": -3, "user": -1, "kind": "click", "ts": "2024-01-02T13:00:00.000Z"},
+            {"id": -4, "user": -1, "kind": "error", "ts": "2024-01-02T13:00:00.000Z"},
+        ]),
+    ]
+    for i, (name, rows) in enumerate(files):
+        _write_jsonl(src, name, rows)
+        os.utime(os.path.join(src, name), (1_700_000_000 + i * 100,) * 2)
+    stream = read_jsonl_stream(spark, src, schema, max_files_per_trigger=1)
+    clicks = stream.filter(F.col("kind") == "click").select(
+        F.col("id").alias("click_id"), "user", F.col("ts").alias("c_ts")
+    )
+    errors = stream.filter(F.col("kind") == "error").select(
+        F.col("id").alias("error_id"), "user", F.col("ts").alias("e_ts")
+    )
+    joined = stream_interval_join(
+        clicks, errors, ["user"], "c_ts", "e_ts", "6 hours",
+        watermark="1 hour", how="left_outer",
+    )
+    got = run_stream_to_df(joined.select("click_id", "error_id", "user"), "append")
+    pairs = sorted(
+        (r["click_id"], r["error_id"])
+        for r in got.collect()
+        if r["user"] is not None and r["user"] >= 0
+    )
+    # click 10 matched once (no extra null row); click 11 null-extended —
+    # and the left key SURVIVES on the null row (the self-join drop
+    # regression this helper fixes)
+    assert pairs == [(10, 90), (11, None)]
