@@ -50,7 +50,7 @@ _GATE_FIRST = (
     "rag_context_pipeline", "token_budget_mixture",
     "span_dedup", "span_dedup_stats", "streaming_join_equiv",
     "streaming_outer_join_equiv", "bucketed_join_revenue",
-    "partitioned_scan_pruning",
+    "partitioned_scan_pruning", "heavy_hitter_tokens",
     # -- stalest: last gated r5 --------------------------------------------
     "q8_market_share", "q10_returned_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "grouping_sets_revenue",
@@ -67,11 +67,11 @@ _GATE_FIRST = (
     "frequent_ngrams", "lm_corpus_blocks", "agentic_routed_fanout",
     "streaming_tumbling_equiv", "streaming_band_admission",
     "word_block_dedup", "q6_forecast_revenue", "minhash_signatures",
-    "minhash_lsh_dedup", "jaccard_pairs_lsh",
-    # (near_dup_components, embedding_near_dup, similarity_brute_topk,
-    # cluster_best_survivor, sequence_packing, corpus_prep_pipeline rotated
-    # out to fit the 6 new rows — they were r6-gated, so they lead the r9
-    # rotation with the rest of that cohort.)
+    "minhash_lsh_dedup",
+    # (jaccard_pairs_lsh, near_dup_components, embedding_near_dup,
+    # similarity_brute_topk, cluster_best_survivor, sequence_packing,
+    # corpus_prep_pipeline rotated out to fit the 7 new rows — they were
+    # r6-gated, so they lead the r9 rotation with the rest of that cohort.)
 )
 
 

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "span_dedup_stats",
     "span_dedup",
     "partitioned_scan_pruning",
+    "heavy_hitter_tokens",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -14,7 +14,7 @@ from instructionspipe_spark.operators.projection import (  # noqa: F401
     scope_markdown,
     scope_project,
 )
-from instructionspipe_spark.operators.grouping import group_counts, distribution_check  # noqa: F401
+from instructionspipe_spark.operators.grouping import group_counts, distribution_check, heavy_hitters  # noqa: F401
 from instructionspipe_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     multi_key_dedup,

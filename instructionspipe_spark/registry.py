@@ -6100,3 +6100,36 @@ def streaming_outer_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT tok, COUNT(*) AS n_occurrences FROM toks GROUP BY tok)
+    SELECT tok, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok ASC) AS BIGINT) AS rank
+    FROM c ORDER BY n_occurrences DESC, tok ASC LIMIT 10
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-bounded EXACT top-10 tokens (operators/grouping.py:
+    heavy_hitters): per-partition mergeable Misra-Gries emits ≤64 candidate
+    keys per partition with ZERO shuffle, then only the candidates are
+    exactly counted (broadcast semi-join + a candidate-bounded groupBy) —
+    the 100 TB form of frequent_ngrams' census, where the universe never
+    crosses the wire. Hash equality against DuckDB's full exact count
+    proves the candidate guarantee held (every true top-10 token's
+    frequency clears the n/64 floor)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok")
+    )
+    from instructionspipe_spark.session import ensure_parallelism
+
+    return ops.heavy_hitters(ensure_parallelism(toks), "tok", k=10, capacity=64)

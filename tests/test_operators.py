@@ -1469,3 +1469,34 @@ def test_span_dedup_two_phase_plan(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan, op.__name__
         out.collect()
+
+
+def test_heavy_hitters_exact_with_eviction(spark):
+    """Misra-Gries candidates + exact verify must return the exact top-k
+    (count desc, item asc tie-break) even when the per-partition counter
+    capacity is far below the universe size — the eviction path runs, but
+    every true heavy hitter clears the n/capacity floor and survives."""
+    from instructionspipe_spark.operators.grouping import heavy_hitters
+    from instructionspipe_spark.session import ensure_parallelism
+
+    # 3 heavy items (600/400/200 occurrences) + 500 singletons; capacity 16
+    rows = (
+        [("hot-a",)] * 600 + [("hot-b",)] * 400 + [("hot-c",)] * 200
+        + [(f"rare-{i}",) for i in range(500)]
+    )
+    df = ensure_parallelism(spark.createDataFrame(rows, "tok string"))
+    got = [
+        (r["tok"], r["n_occurrences"], r["rank"])
+        for r in heavy_hitters(df, "tok", k=3, capacity=16).collect()
+    ]
+    assert got == [("hot-a", 600, 1), ("hot-b", 400, 2), ("hot-c", 200, 3)]
+
+
+def test_heavy_hitters_ties_and_nulls(spark):
+    """Deterministic tie-break on the item value; NULL items ignored."""
+    from instructionspipe_spark.operators.grouping import heavy_hitters
+
+    rows = [("b",)] * 5 + [("a",)] * 5 + [("c",)] * 2 + [(None,)] * 10
+    df = spark.createDataFrame(rows, "tok string")
+    got = [(r["tok"], r["n_occurrences"]) for r in heavy_hitters(df, "tok", k=2).collect()]
+    assert got == [("a", 5), ("b", 5)]
