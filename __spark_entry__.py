@@ -51,6 +51,11 @@ _GATE_FIRST = (
     "span_dedup", "span_dedup_stats", "streaming_join_equiv",
     "streaming_outer_join_equiv", "bucketed_join_revenue",
     "partitioned_scan_pruning", "heavy_hitter_tokens",
+    # -- late r8: the TPC-H completion sweep + the stream-static twin ------
+    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_parts",
+    "q12_late_priority_lines", "q16_supplier_counts",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
+    "streaming_static_join_equiv",
     # -- stalest: last gated r5 --------------------------------------------
     "q8_market_share", "q10_returned_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "grouping_sets_revenue",
@@ -70,8 +75,12 @@ _GATE_FIRST = (
     "minhash_lsh_dedup",
     # (jaccard_pairs_lsh, near_dup_components, embedding_near_dup,
     # similarity_brute_topk, cluster_best_survivor, sequence_packing,
-    # corpus_prep_pipeline rotated out to fit the 7 new rows — they were
-    # r6-gated, so they lead the r9 rotation with the rest of that cohort.)
+    # corpus_prep_pipeline rotated out to fit the earlier new rows, and
+    # lm_corpus_blocks, agentic_routed_fanout, streaming_tumbling_equiv,
+    # streaming_band_admission, word_block_dedup, q6_forecast_revenue,
+    # minhash_signatures, minhash_lsh_dedup sit past the 50-window after
+    # the late-r8 TPC-H sweep — all were r6-gated, exactly two rounds old
+    # at r8 close, so they lead the r9 rotation with the r7 cohort.)
 )
 
 

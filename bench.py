@@ -97,6 +97,14 @@ BENCH_QUERIES = [
     "span_dedup",
     "partitioned_scan_pruning",
     "heavy_hitter_tokens",
+    # late round 8: the TPC-H completion sweep (22/22 query shapes)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_late_priority_lines",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.
@@ -783,6 +791,7 @@ STREAMING_QUERIES = [
     ("streaming_stateful_counts_equiv", "events"),
     ("streaming_join_equiv", "events"),
     ("streaming_outer_join_equiv", "events"),
+    ("streaming_static_join_equiv", "events"),
     ("streaming_band_admission", "documents"),
     ("streaming_llm_cache_equiv", "documents"),
 ]

@@ -6133,3 +6133,455 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from instructionspipe_spark.session import ensure_parallelism
 
     return ops.heavy_hitters(ensure_parallelism(toks), "tok", k=10, capacity=64)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (late): the seven remaining TPC-H shapes (q2/q9/q11/q12/q16/q20/
+# q21), adapted to the testdata star schema the same way q13/q22 were (no
+# partsupp table -> lineitem-derived unit costs; no l_commitdate/
+# l_receiptdate -> shipdate-vs-orderdate lag as the lateness proxy; no
+# l_shipmode -> l_returnflag as the categorical). Completes the TPC-H
+# relational sweep at 22/22 query shapes. Plus a stream-static broadcast
+# join twin, the one streaming join mode streaming_join_equiv /
+# streaming_outer_join_equiv (stream-stream) did not cover.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    pslice AS (
+        SELECT p_partkey, p_name FROM part
+        WHERE p_type = 'STANDARD' AND p_size < 10
+    ),
+    ec AS (
+        SELECT c.l_partkey, c.cost, e.s_name, e.s_acctbal, e.n_name
+        FROM costs c
+        JOIN eu e ON e.s_suppkey = c.l_suppkey
+        JOIN pslice p ON p.p_partkey = c.l_partkey
+    ),
+    m AS (SELECT l_partkey, MIN(cost) AS min_cost FROM ec GROUP BY l_partkey)
+    SELECT ec.s_acctbal, ec.s_name, ec.n_name, p.p_partkey, p.p_name,
+           CAST(ROUND(ec.cost, 6) AS DOUBLE) AS cost
+    FROM ec
+    JOIN m ON m.l_partkey = ec.l_partkey AND ec.cost = m.min_cost
+    JOIN part p ON p.p_partkey = ec.l_partkey
+    ORDER BY ec.s_acctbal DESC, ec.n_name, ec.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated-MIN subquery ("the supplier offering
+    the minimum cost for each part in the slice, suppliers from one
+    region"). Adapted: no partsupp table, so per-(part, supplier) cost is
+    MIN(l_extendedprice / l_quantity) from lineitem. The correlated
+    subquery decorrelates to the two-phase groupBy-MIN + equi-join-back
+    pattern (the measured-faster alternative to a window MIN over hot
+    keys); the part slice and the region-filtered supplier dim prefilter
+    the fact BEFORE the per-part MIN, so the aggregate's input is the
+    reduced set. MIN selects (never sums) a double, so the cost == min_cost
+    equality is exact in both engines. Reference parity anchor: relational
+    surface, SURVEY.md section 2.4/2.5."""
+    from instructionspipe_spark.session import broadcast_if_small
+
+    lineitem, part, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    pslice = part.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    ).select("p_partkey", "p_name")
+    eu = (
+        supplier.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        lineitem.join(broadcast_if_small(pslice), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast_if_small(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    m = costs.groupBy(F.col("l_partkey").alias("__mk")).agg(F.min("cost").alias("min_cost"))
+    return (
+        costs.join(
+            broadcast_if_small(m),
+            (F.col("__mk") == F.col("l_partkey")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.round("cost", 6).cast("double").alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * 0.6 * l.l_quantity
+                               AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and order
+    year — the densest join tree in the suite (lineitem joined to FOUR
+    other tables, one of them the orders fact). Adapted: supply cost is
+    p_retailprice * 0.6 (no partsupp). The p_name LIKE prefilter lands on
+    the broadcast part dim and semi-reduces the fact before the
+    lineitem-orders shuffle; profit is cast to DECIMAL before SUM on both
+    sides so summation order can never flip the hash."""
+    lineitem, part, supplier, orders, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    from instructionspipe_spark.session import broadcast_if_small
+
+    gear = part.filter(F.col("p_name").like("%gear%")).select("p_partkey", "p_retailprice")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")
+    ).cast("decimal(25,6)")
+    return (
+        lineitem.join(broadcast_if_small(gear), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(25,6))) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(val) AS t, COUNT(*) AS n FROM v)
+    SELECT v.l_partkey, CAST(ROUND(v.val, 2) AS DOUBLE) AS value
+    FROM v, tot
+    WHERE v.val * tot.n > 2 * tot.t
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a GLOBAL scalar
+    threshold (HAVING SUM(...) > fraction * SUM(...) over everything).
+    Adapted: part value = SUM(extendedprice * quantity) over lineitems
+    shipped by ASIA suppliers; the classic fixed fraction is replaced by a
+    scale-free one — keep parts whose value exceeds 2x the mean part value
+    (val * n > 2 * total), so the row survives identically at every SF.
+    The threshold compares exact DECIMAL sums (never order-sensitive
+    doubles); the one-row total broadcasts onto the grouped frame, the
+    same scalar-subquery plan shape as q22_dormant_customers."""
+    lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region"
+    )
+    asia = (
+        supplier.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    from instructionspipe_spark.session import broadcast_if_small
+
+    v = (
+        lineitem.join(broadcast_if_small(asia), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,6)")).alias(
+                "val"
+            )
+        )
+    )
+    tot = v.agg(F.sum("val").alias("t"), F.count(F.lit(1)).alias("n"))
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("val") * F.col("n") > F.lit(2) * F.col("t"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("value"))
+    )
+
+
+@query(
+    "q12_late_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE EXTRACT(year FROM l.l_shipdate) = 1997
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE WHEN) counts split by order
+    priority over a fact-fact join, with a cross-table lateness predicate.
+    Adapted: l_returnflag stands in for l_shipmode and "late" is
+    l_shipdate > o_orderdate + 90 days (no commit/receipt dates). The year
+    filter pushes to the lineitem scan; the lateness predicate is
+    cross-table so it evaluates post-join in codegen — exactly the
+    pushdown split Catalyst should pick, visible in the plan's
+    PushedFilters vs post-join Filter."""
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter(F.year("l_shipdate") == 1997)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, type, size)
+    with a NOT IN exclusion subquery. Adapted: the "complaints" exclusion
+    is suppliers with negative account balance (no s_comment). NOT IN
+    compiles to a broadcast LEFT ANTI join (the excluded set is tiny and
+    bounded by |supplier|); the brand/type/size slice prefilters on the
+    broadcast part dim. COUNT DISTINCT expands to the two-phase
+    partial-distinct aggregate, so the heavy dedup happens map-side before
+    the shuffle."""
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    from instructionspipe_spark.session import broadcast_if_small
+
+    p16 = part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(broadcast_if_small(p16), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    oracle="""
+    WITH qty AS (
+        SELECT l.l_suppkey, SUM(l.l_quantity) AS total_qty
+        FROM lineitem l
+        WHERE EXTRACT(year FROM l.l_shipdate) = 1998
+          AND EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%')
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name, q.total_qty
+    FROM qty q
+    JOIN supplier s ON s.s_suppkey = q.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE q.total_qty > (SELECT AVG(total_qty) FROM qty)
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped an above-threshold quantity
+    of a name-sliced part family in one year — EXISTS compiled to a LEFT
+    SEMI join against the part slice, then a scalar-subquery threshold
+    over the grouped quantities (classic availqty comparison adapted to a
+    scale-free above-average cut: no partsupp). l_quantity is integral, so
+    the double SUM/AVG are order-exact in both engines. The semi-join side
+    broadcasts; the one-row average broadcasts onto the grouped frame."""
+    lineitem, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    from instructionspipe_spark.session import broadcast_if_small
+
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    qty = (
+        lineitem.filter(F.year("l_shipdate") == 1998)
+        .join(broadcast_if_small(red), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+    avg_qty = qty.agg(F.avg("total_qty").alias("__a"))
+    return (
+        qty.join(F.broadcast(avg_qty))
+        .filter(F.col("total_qty") > F.col("__a"))
+        .join(broadcast_if_small(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name", "total_qty")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept failed orders waiting — the
+    EXISTS (another supplier in the order) + NOT EXISTS (another LATE
+    supplier in the order) double-correlation. Adapted: "late" is
+    l_shipdate > o_orderdate + 60 days. The oracle keeps the literal
+    EXISTS/NOT EXISTS text; the Spark plan decorrelates BOTH subqueries
+    into one per-order aggregate pass — a row qualifies iff its order has
+    >= 2 distinct suppliers and exactly ONE distinct LATE supplier (the
+    row's own). That turns two correlated self-joins into a single
+    groupBy(orderkey) + join-back co-partitioned on the same key (one
+    exchange, reused), the 100 TB-safe form — the self-join rewrite would
+    shuffle the fact three times."""
+    lineitem, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    lo = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .withColumn(
+            "__late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "__late")
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
+    )
+    cand = (
+        lo.filter(F.col("__late"))
+        .join(per_order, F.col("__ok") == F.col("l_orderkey"))
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+    )
+    return (
+        cand.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "streaming_static_join_equiv",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch for the STREAM-STATIC broadcast join — the
+    one streaming join mode the stream-stream twins don't cover (Spark
+    plans it as a per-micro-batch broadcast hash join against the static
+    side; no join state, no watermark interaction on the static side).
+    Events stream -> inner join to the static customer dim on
+    user_id = c_custkey -> watermarked tumbling window per market segment,
+    complete mode; must hash-match the batch join + GROUP BY oracle."""
+    from instructionspipe_spark.streaming.jobs import run_stream_to_df
+
+    customer, _events = _t(spark, sf_dir, "customer", "events")  # nanos conf
+    static = customer.select("c_custkey", "c_mktsegment")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if raw_schema["ts"].dataType.simpleString() == "bigint":  # legacy nanosAsLong
+        ts_ltz = F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ltz")
+    else:
+        ts_ltz = F.col("ts").cast("timestamp_ltz")
+    stream = stream.withColumn("ts", ts_ltz)
+    agg = (
+        stream.join(F.broadcast(static), F.col("c_custkey") == F.col("user_id"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_df(agg, "complete")
