@@ -55,7 +55,8 @@ _GATE_FIRST = (
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_parts",
     "q12_late_priority_lines", "q16_supplier_counts",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
-    "streaming_static_join_equiv",
+    "streaming_static_join_equiv", "similarity_ivfsq_topk",
+    "dynamic_partition_pruning", "bm25_retrieval",
     # -- stalest: last gated r5 --------------------------------------------
     "q8_market_share", "q10_returned_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "grouping_sets_revenue",

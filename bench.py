@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "q16_supplier_counts",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    "similarity_ivfsq_topk",
+    "dynamic_partition_pruning",
+    "bm25_retrieval",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -75,6 +75,7 @@ from instructionspipe_spark.operators.textstats import (  # noqa: F401
     repetition_stats,
     text_stats,
     tfidf_top_terms,
+    bm25_topk,
     frequent_word_ngrams,
     token_count,
     token_count_bpe,

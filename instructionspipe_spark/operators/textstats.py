@@ -636,3 +636,67 @@ def perplexity_buckets(
         scored.join(F.broadcast(cuts), "lang")
         .select(id_col, "lang", "mean_logprob", "n_tokens", bucket.alias("bucket"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[str, list[str]]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-query top-``k`` documents by Okapi BM25 (Robertson/Lucene form:
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1), always positive; tf
+    saturation k1, length normalization b against the mean doc length) —
+    the lexical-retrieval counterpart of the embedding ANN family and the
+    drop-in first stage for rag_context_pipeline's retrieval seam.
+
+    Plan: explode tokens once -> per (doc, term) tf + per-doc length (two
+    partial aggs over the same exploded frame, the length agg reusing the
+    tf frame rather than the raw tokens) -> per-term df over the REDUCED
+    tf frame -> the query terms are a literal few-row frame broadcast onto
+    tf via an equi-join on the term (only postings of queried terms ever
+    leave the scan — the inverted-index access pattern, bounded by the
+    posting lists, never corpus-sized) -> per-(query, doc) sum of
+    contributions -> top-k window per query. Scores round BEFORE ranking
+    with the doc id as tie break (the tfidf_top_terms discipline), so
+    cross-engine float ulps can't flip the emitted order."""
+    from instructionspipe_spark.session import ensure_parallelism
+
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    toks = df.select(F.col(id_col), F.explode(_lower_tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    doclen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    totals = doclen.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    spark = df.sparkSession
+    qrows = [(qid, t) for qid, terms in queries for t in terms]
+    qdf = spark.createDataFrame(qrows, ["query_id", "term"])
+    idf = F.log(
+        (F.col("__n_docs") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (F.col("__tf") * F.lit(k1 + 1.0)) / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    contrib = F.round(idf * tf_part, round_digits + 3)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        tf.join(F.broadcast(qdf), "term")
+        .join(docfreq, "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(totals))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(contrib), round_digits).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
+    )

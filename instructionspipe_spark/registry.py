@@ -6585,3 +6585,223 @@ def streaming_static_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_df(agg, "complete")
+
+
+def _ivfsq_topk_oracle(n_cells: int = 8, n_probe: int = 2, k: int = 5, rerank: int = 50) -> str:
+    """Oracle for the deterministic IVF+SQ8: centroids are the lowest-id
+    vectors (the _ivf_topk_oracle cell rule); per-dim min/max over the
+    normalized corpus; SQ8 encode = floor((x-mn)/(mx-mn)*255 + 0.5) clamped;
+    candidate rank = SYMMETRIC integer code distance (exact in any engine);
+    exact-cosine rerank of the shortlist — the exact rules of
+    ivfsq_topk_deterministic, by construction."""
+    dot = "CAST(list_sum(list_transform(range(1, len(a.__nv) + 1), i -> a.__nv[i] * c.__cent[i])) AS DOUBLE)"
+    sq = (
+        "CASE WHEN s.mx = s.mn THEN 0 ELSE CAST(LEAST(255.0, GREATEST(0.0,"
+        " FLOOR(({x} - s.mn) / (s.mx - s.mn) * 255.0 + 0.5))) AS BIGINT) END"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cell, __nv AS __cent
+        FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {n_cells}
+    ),
+    c_assigned AS (
+        SELECT a.vec_id, a.__nv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND({dot}, 6) DESC, c.cell ASC) AS __ar
+        FROM v a CROSS JOIN cent c
+    ),
+    c_cells AS (SELECT vec_id, __nv, cell FROM c_assigned WHERE __ar = 1),
+    q_probes AS (
+        SELECT vec_id AS query_id, __nv AS __qnv, cell
+        FROM c_assigned WHERE vec_id < 3 AND __ar <= {n_probe}
+    ),
+    stats AS (
+        SELECT t.i AS i, MIN(u.__nv[t.i]) AS mn, MAX(u.__nv[t.i]) AS mx
+        FROM v u, UNNEST(range(1, len(u.__nv) + 1)) AS t(i)
+        GROUP BY t.i
+    ),
+    enc_raw AS (
+        SELECT c.vec_id, c.cell, t.i, c.__nv[t.i] AS x
+        FROM c_cells c, UNNEST(range(1, len(c.__nv) + 1)) AS t(i)
+    ),
+    enc AS (
+        SELECT e.vec_id, e.cell, e.i, {sq.format(x="e.x")} AS code
+        FROM enc_raw e JOIN stats s ON s.i = e.i
+    ),
+    qenc_raw AS (
+        SELECT q.query_id, q.cell, t.i, q.__qnv[t.i] AS x
+        FROM q_probes q, UNNEST(range(1, len(q.__qnv) + 1)) AS t(i)
+    ),
+    qenc AS (
+        SELECT e.query_id, e.cell, e.i, {sq.format(x="e.x")} AS code
+        FROM qenc_raw e JOIN stats s ON s.i = e.i
+    ),
+    d2 AS (
+        SELECT q.query_id, e.vec_id,
+               SUM((q.code - e.code) * (q.code - e.code)) AS d2i
+        FROM enc e JOIN qenc q ON q.cell = e.cell AND q.i = e.i
+        GROUP BY q.query_id, e.vec_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2i, vec_id) AS rn
+            FROM d2
+        ) WHERE rn <= {rerank}
+    ),
+    exact AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(CAST(list_sum(list_transform(range(1, len(a.__nv) + 1),
+                                                  i -> q.__nv[i] * a.__nv[i])) AS DOUBLE), 4) AS cosine
+        FROM short s
+        JOIN v a ON a.vec_id = s.vec_id
+        JOIN v q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rank
+        FROM exact
+    ) WHERE rank <= {k}
+    """
+
+
+@query("similarity_ivfsq_topk", oracle=_ivfsq_topk_oracle())
+def similarity_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + 8-bit scalar quantization ANN (FAISS IVF,SQ8 family),
+    oracle-gated via the deterministic data-seeded coarse quantizer —
+    completes the quantization family next to similarity_pq_topk /
+    similarity_ivfadc_topk. Candidate ranking is the SYMMETRIC integer
+    code distance (both sides encoded with the corpus per-dim min/max), so
+    the shortlist is exact-integer reproducible with no float rounding
+    discipline; the exact-cosine rerank restores quality and fixes the
+    emitted top-k."""
+    from instructionspipe_spark.operators.similarity import ivfsq_topk_deterministic
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries_df = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfsq_topk_deterministic(
+        embeddings, queries_df, k=5, n_cells=8, n_probe=2, rerank=50
+    ).select("query_id", "vec_id", "cosine", "rank")
+
+
+@query(
+    "dynamic_partition_pruning",
+    oracle="""
+    WITH busy AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events WHERE event_type = 'click'
+        GROUP BY d ORDER BY n DESC, d LIMIT 10
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN busy b ON CAST(e.ts AS DATE) = b.d
+    GROUP BY e.event_type
+    """,
+)
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning, oracle-gated — the runtime sibling of
+    partitioned_scan_pruning (which pins the STATIC literal-predicate case).
+    Here the pruning set is not known until the dim side runs: the "busy
+    dates" dim is the top-10 click days computed from the data, and the
+    date-partitioned fact is joined on the partition column. Catalyst
+    inserts a DynamicPruningExpression subquery into the fact scan's
+    PartitionFilters (reusing the dim's broadcast exchange), so only the 10
+    winning date directories are ever listed and read — at 100 TB the
+    standard star-join pattern where the selective dim filter cannot be
+    folded to literals at plan time (pinned in tests/test_plans.py).
+    Hash equality against the unpartitioned batch join proves the runtime
+    pruning moves the scan, never the result."""
+    (raw,) = _t(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    scratch = _layout_scratch(
+        sf_dir,
+        "events_by_date_v2",
+        raw.withColumn("evt_date", F.to_date("ts")),
+        "evt_date",
+    )
+    events = spark.read.parquet(scratch)
+    busy = (
+        raw.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "d")
+        .limit(10)
+    )
+    return (
+        events.join(F.broadcast(busy), F.col("evt_date") == F.col("d"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+_BM25_QUERIES = [
+    ("q_join", ["hash", "join", "merge"]),
+    ("q_stream", ["stream", "batch", "window"]),
+    ("q_dup", ["dup", "scan", "filter"]),
+]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle(k: int = 5, k1: float = _BM25_K1, b: float = _BM25_B) -> str:
+    """Oracle for bm25_topk: generated from the same query/parameter
+    constants as the Spark expressions — Lucene idf, k1/b saturation,
+    per-contribution rounding at 9 then the summed score at 6, doc_id tie
+    break. Parity by construction."""
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    idf = "ln((tot.n_docs - dfq.dft + 0.5) / (dfq.dft + 0.5) + 1.0)"
+    tf_part = (
+        f"(tf.tfc * {k1 + 1.0!r}) / (tf.tfc + {k1!r} *"
+        f" ({1.0 - b!r} + {b!r} * dl.dl / tot.avgdl))"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TFIDF_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tfc FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tfc) AS dl FROM tf GROUP BY doc_id),
+    dfq AS (SELECT term, COUNT(*) AS dft FROM tf GROUP BY term),
+    tot AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    q(query_id, term) AS (VALUES {qvals}),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               ROUND(SUM(ROUND({idf} * {tf_part}, 9)), 6) AS score
+        FROM tf
+        JOIN q USING (term)
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id, tot
+        GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, rank, score FROM (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("bm25_retrieval", oracle=_bm25_oracle())
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval, top-5 documents per keyword query
+    (operators/textstats.py bm25_topk) — the sparse counterpart of the
+    embedding ANN rows and the drop-in first stage for
+    rag_context_pipeline's retrieval seam. The query terms join tf as a
+    broadcast literal frame, so only queried-term postings leave the scan
+    (inverted-index access, bounded by posting lists at 100 TB)."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ops.bm25_topk(
+        documents, "doc_id", "text", _BM25_QUERIES, k=5, k1=_BM25_K1, b=_BM25_B
+    )

@@ -338,3 +338,43 @@ def test_partitioned_scan_prunes_directories(spark):
     leaf = df._jdf.queryExecution().sparkPlan().collectLeaves().apply(0)
     n_sel = leaf.selectedPartitions().partitionCount()
     assert n_sel == 7, n_sel
+
+
+def test_dynamic_partition_pruning_row_plans_a_runtime_filter(spark):
+    """The dynamic_partition_pruning row's fact scan must carry the join's
+    pruning set as a DYNAMIC PartitionFilter (a runtime subquery over the
+    dim side, reusing its broadcast), not as a post-scan data filter —
+    the busy-dates set is computed from data, so no literal pruning is
+    possible at plan time."""
+    df = entrymod.queries()["dynamic_partition_pruning"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_filters = plan.split("PartitionFilters", 1)[1].split("\n", 1)[0]
+    assert "dynamicpruningexpression" in scan_filters, scan_filters
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan
+
+
+def test_ivfsq_shortlist_is_integer_exact(spark):
+    """ivfsq_topk_deterministic's candidate metric must be pure integer
+    code distance: recomputing d2 from the encoded arrays in Python equals
+    the plan's values exactly (no float rank discipline anywhere), and the
+    final top-k contains the true nearest neighbor for self-queries
+    (recall sanity: a vector's own id must rank first at cosine 1.0)."""
+    from instructionspipe_spark.operators.similarity import ivfsq_topk_deterministic
+    from instructionspipe_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = ivfsq_topk_deterministic(emb, queries, k=5, n_cells=8, n_probe=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["vec_id"] == qid, (qid, rs[0])  # self is its own NN
+        assert rs[0]["cosine"] == 1.0
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
