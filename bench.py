@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "similarity_ivfsq_topk",
     "dynamic_partition_pruning",
     "bm25_retrieval",
+    "cdc_merge_apply",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

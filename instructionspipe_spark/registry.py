@@ -6805,3 +6805,93 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.bm25_topk(
         documents, "doc_id", "text", _BM25_QUERIES, k=5, k1=_BM25_K1, b=_BM25_B
     )
+
+
+@query(
+    "cdc_merge_apply",
+    oracle="""
+    WITH snap AS (
+        SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    raw AS (
+        SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_custkey,
+               'P' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 2, 'D', o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 21 = 0
+        UNION ALL
+        SELECT -o_orderkey - 1, 2, 'U', o_custkey, 'O', 42.0
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    compact AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY k
+                ORDER BY seq DESC, CAST(op = 'D' AS INT) DESC) AS rn
+            FROM raw
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT COALESCE(s.k, c.k) AS o_orderkey,
+               CASE WHEN c.k IS NOT NULL THEN c.o_custkey ELSE s.o_custkey END AS o_custkey,
+               CASE WHEN c.k IS NOT NULL THEN c.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+               CASE WHEN c.k IS NOT NULL THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+               c.op AS op
+        FROM snap s FULL OUTER JOIN compact c ON c.k = s.k
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(25,6)), 2) AS DOUBLE) AS o_totalprice
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch apply (lakehouse MERGE INTO semantics, operators/cdc.py):
+    a deterministic change feed derived from orders — upserts (price bump
+    + status 'P' for keys % 7), deletes overriding a third of them at a
+    later sequence (keys % 21), and inserts at fresh negative keys
+    (keys % 13) — is compacted last-writer-wins (delete beats upsert on a
+    seq tie) and applied to the snapshot as ONE full-outer equi-join.
+    Pure-DataFrame MERGE: runs on plain parquet, drops onto Delta/Iceberg
+    MERGE INTO unchanged; at 100 TB the join co-partitions with a
+    key-bucketed snapshot layout and the change batch broadcasts."""
+    from instructionspipe_spark.operators.cdc import apply_changes, latest_change_per_key
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    snap = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    u1 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_custkey"),
+        F.lit("P").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    d2 = orders.filter(F.col("o_orderkey") % 21 == 0).select(
+        F.col("o_orderkey"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+    )
+    raw = u1.unionByName(d2).unionByName(ins)
+    compact = latest_change_per_key(raw, "o_orderkey", "seq").drop("seq")
+    out = apply_changes(snap, compact, "o_orderkey")
+    # Round through DECIMAL: a * 1.1 price can land on an exact .xx5000
+    # decimal, where double-ROUND diverges across engines (binary .9549..
+    # rounds down) but decimal HALF_UP agrees (registry rounding contract).
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("decimal(25,6)"), 2).cast("double").alias("o_totalprice"),
+    )

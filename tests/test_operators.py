@@ -1500,3 +1500,31 @@ def test_heavy_hitters_ties_and_nulls(spark):
     df = spark.createDataFrame(rows, "tok string")
     got = [(r["tok"], r["n_occurrences"]) for r in heavy_hitters(df, "tok", k=2).collect()]
     assert got == [("a", 5), ("b", 5)]
+
+
+def test_cdc_apply_changes_semantics(spark):
+    """MERGE edge rules: matched-U updates, matched-D deletes, unmatched-U
+    inserts, unmatched-D is a NO-OP (must not insert), untouched rows pass
+    through; compaction is last-writer-wins with delete beating upsert on
+    an exact seq tie."""
+    from instructionspipe_spark.operators.cdc import apply_changes, latest_change_per_key
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, 1, "U", "a2"),   # matched update
+            (2, 1, "D", None),   # matched delete
+            (4, 1, "U", "d"),    # unmatched insert
+            (5, 1, "D", None),   # unmatched delete -> no-op
+            (6, 1, "U", "x"),    # tie: U and D at seq 1 -> D wins -> no-op
+            (6, 1, "D", None),
+            (7, 1, "U", "old"),  # superseded by seq 2
+            (7, 2, "U", "new"),
+        ],
+        ["k", "seq", "op", "v"],
+    )
+    compact = latest_change_per_key(raw, "k", "seq").drop("seq")
+    got = {r["k"]: r["v"] for r in apply_changes(snap, compact, "k").collect()}
+    assert got == {1: "a2", 3: "c", 4: "d", 7: "new"}
