@@ -326,3 +326,59 @@ def test_span_dedup_matches_reference(spark, data):
         for r in span_dedup_stats(df, "doc_id", "text", k=k).collect()
     }
     assert got_stats == exp_stats
+
+
+@st.composite
+def cdc_inputs(draw):
+    snap_keys = draw(st.lists(st.integers(0, 12), min_size=0, max_size=8, unique=True))
+    snapshot = [(k, f"s{k}") for k in snap_keys]
+    n_ch = draw(st.integers(0, 12))
+    changes = [
+        (
+            draw(st.integers(0, 15)),
+            draw(st.integers(1, 4)),
+            draw(st.sampled_from(["U", "D"])),
+            f"c{i}",
+        )
+        for i in range(n_ch)
+    ]
+    return snapshot, changes
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cdc_inputs())
+def test_cdc_apply_matches_sequential_replay(spark, data):
+    """apply_changes(latest_change_per_key(feed)) must equal replaying the
+    feed sequentially (seq order; within a seq tie the delete wins, and a
+    same-seq upsert pair is excluded by generating unique (key, seq) —
+    compaction assumes a deterministic winner)."""
+    from instructionspipe_spark.operators.cdc import apply_changes, latest_change_per_key
+
+    snapshot, changes = data
+    # unique (key, seq) with at most one op — keep the LAST generated for a
+    # (k, seq) pair, preferring 'D' (the compaction tie rule) so the
+    # sequential reference is deterministic too.
+    byks = {}
+    for k, seq, op, v in changes:
+        prev = byks.get((k, seq))
+        if prev is None or (op == "D" and prev[2] != "D"):
+            byks[(k, seq)] = (k, seq, op, v)
+    changes = sorted(byks.values(), key=lambda r: (r[1], r[0]))
+
+    # sequential replay reference
+    state = {k: v for k, v in snapshot}
+    for k, seq, op, v in changes:  # already seq-ordered
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    snap_df = spark.createDataFrame(snapshot, "k INT, v STRING") if snapshot else (
+        spark.createDataFrame([], "k INT, v STRING")
+    )
+    ch_df = spark.createDataFrame(changes, "k INT, seq INT, op STRING, v STRING") if changes else (
+        spark.createDataFrame([], "k INT, seq INT, op STRING, v STRING")
+    )
+    compact = latest_change_per_key(ch_df, "k", "seq").drop("seq")
+    got = {r["k"]: r["v"] for r in apply_changes(snap_df, compact, "k").collect()}
+    assert got == state
