@@ -34,17 +34,20 @@ def latest_change_per_key(
     """Compact a raw change feed to one row per key: highest ``seq_col``
     wins; on an exact seq tie a delete beats an upsert (the conservative
     compaction rule — replaying the pair in either order ends deleted).
-    Two-phase max election (groupBy struct-max, no window over a hot key)."""
-    tagged = changes.withColumn(
-        "__rank", F.struct(F.col(seq_col), (F.col(op_col) == "D").cast("int"))
-    )
-    best = changes.groupBy(key).agg(
-        F.max(F.struct(F.col(seq_col), (F.col(op_col) == "D").cast("int"))).alias("__best")
+
+    Implementation is a per-key window, not the two-phase groupBy-max +
+    join-back used for hot-keyed elections elsewhere: CDC keys are
+    near-unique per batch (a handful of changes per key), so the window
+    partitions are tiny AND the join-back would tempt Catalyst into
+    broadcasting the raw feed scan at test scale — one shuffle on the key,
+    no broadcast, is the shape that survives a feed the size of the fact."""
+    w = Window.partitionBy(key).orderBy(
+        F.desc(seq_col), F.desc((F.col(op_col) == "D").cast("int"))
     )
     return (
-        tagged.join(best, key)
-        .filter(F.col("__rank").eqNullSafe(F.col("__best")))
-        .drop("__rank", "__best")
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 
