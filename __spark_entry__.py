@@ -57,6 +57,7 @@ _GATE_FIRST = (
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "streaming_static_join_equiv", "similarity_ivfsq_topk",
     "dynamic_partition_pruning", "bm25_retrieval", "cdc_merge_apply",
+    "scd2_event_intervals", "funnel_conversion", "retention_cohorts",
     # -- stalest: last gated r5 --------------------------------------------
     "q8_market_share", "q10_returned_revenue", "q15_top_supplier",
     "q17_small_quantity_revenue", "grouping_sets_revenue",

@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "dynamic_partition_pruning",
     "bm25_retrieval",
     "cdc_merge_apply",
+    "scd2_event_intervals",
+    "funnel_conversion",
+    "retention_cohorts",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -83,6 +83,11 @@ from instructionspipe_spark.operators.textstats import (  # noqa: F401
     quality_classifier_score,
     perplexity_buckets,
 )
+from instructionspipe_spark.operators.eventflow import (  # noqa: F401
+    funnel_counts,
+    retention_matrix,
+    scd2_intervals,
+)
 from instructionspipe_spark.operators.graph import (  # noqa: F401
     connected_components,
     near_dup_components,

@@ -6895,3 +6895,95 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice").cast("decimal(25,6)"), 2).cast("double").alias("o_totalprice"),
     )
+
+
+@query(
+    "scd2_event_intervals",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_type, ts, event_id,
+               COALESCE(event_type <> LAG(event_type) OVER w, TRUE) AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (SELECT user_id, event_type, ts, event_id FROM pts WHERE chg)
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM ch
+    """,
+)
+def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/eventflow.py scd2_intervals):
+    per user, each event-type CHANGE (ordered by ts with event_id as the
+    equal-timestamp tie break) opens a validity interval; consecutive
+    equal values collapse; the current value stays open (valid_to NULL).
+    One shuffle on the key, both windows share one sort."""
+    from instructionspipe_spark.operators.eventflow import scd2_intervals
+
+    (events,) = _t(spark, sf_dir, "events")
+    return scd2_intervals(events, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'step2_click', COUNT(*) FROM s2
+    UNION ALL SELECT 'step3_purchase', COUNT(*) FROM s3
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (operators/eventflow.py funnel_counts):
+    users who viewed, then clicked STRICTLY AFTER the first view, then
+    purchased strictly after that first qualifying click. Each stage is a
+    key-bounded MIN aggregate filtered against the previous frontier — no
+    per-user event arrays are collected, so a whale user costs an
+    aggregate, not a sort (the 100 TB funnel shape)."""
+    from instructionspipe_spark.operators.eventflow import funnel_counts
+
+    (events,) = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        events, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort AS cohort_week,
+           CAST(datediff('day', CAST(f.cohort AS DATE), CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/eventflow.py retention_matrix):
+    cohort = first-seen ISO week per user; each (cohort_week, week_offset)
+    cell counts the cohort's distinct users active that week. Two
+    key-bounded aggregates; the firsts frame is user-bounded so the join
+    broadcasts at test scale and co-partitions on the key at 100 TB."""
+    from instructionspipe_spark.operators.eventflow import retention_matrix
+
+    (events,) = _t(spark, sf_dir, "events")
+    return retention_matrix(events, "user_id", "ts")
