@@ -29,21 +29,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate rotation: the driver's correctness harness samples the FIRST 50
 # entries of queries(). Round-8 priority order (VERDICT_r7 "Next round" #2:
 # no registry query's newest gate record should be older than two rounds):
-# 1. The new r8 queries (early-r8 four + late-r8 five: span dedup pair,
-#    stream-stream join, bucketed join, partition pruning):
-#    the config-runner end-to-end rows
-#    (run_config_pipeline, run_judge_config_metrics — VERDICT item 1,
-#    closing the last pytest-only family), the most_dup greedy dedup
-#    (lsh_dedup_most_dup — VERDICT item 3, closing the last semantic cut),
-#    and the batch RAG context pipeline (rag_context_pipeline, N38).
+# 1. The TWENTY-SEVEN queries new in r8 (config runners, most_dup greedy,
+#    RAG pipeline, token-budget mixture, span dedup pair, stream-stream
+#    joins, bucketed join, partition pruning, heavy hitters, the late-r8
+#    TPC-H completion sweep q2/q9/q11/q12/q16/q20/q21, the stream-static
+#    twin, IVF+SQ8, dynamic partition pruning, BM25, the CDC merge, and
+#    the event-flow trio) — every new row must be driver-gated in its
+#    birth round.
 # 2. The TWENTY-THREE queries whose newest gate record is r5 — the full
 #    r5-or-older set, verified against the r1-r7 CORRECTNESS union.
-# 3. Backfill: 24 of the 50 r6-gated queries (the dedup/similarity/
-#    packing/streaming-r6 cohort). The 26 r6-gated rows left out (the
-#    basic-relational cohort: join_dims_broadcast .. grouped_split,
-#    simhash_fingerprints, ngram_jaccard_pairs, chatml_flatten, ...)
-#    are two rounds old after r8 and lead the r9 rotation together with
-#    the r7 cohort.
+# That fills the 50-window exactly; ALL r6-gated rows are two rounds old
+# after r8 and lead the r9 rotation together with the r7 cohort (r9 head:
+# the 50 r6-gated rows, then the r7 cohort).
 _GATE_FIRST = (
     # -- new this round ----------------------------------------------------
     "run_config_pipeline", "run_judge_config_metrics", "lsh_dedup_most_dup",
