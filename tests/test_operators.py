@@ -1528,3 +1528,36 @@ def test_cdc_apply_changes_semantics(spark):
     compact = latest_change_per_key(raw, "k", "seq").drop("seq")
     got = {r["k"]: r["v"] for r in apply_changes(snap, compact, "k").collect()}
     assert got == {1: "a2", 3: "c", 4: "d", 7: "new"}
+
+
+def test_scd2_intervals_edges(spark):
+    """SCD2 edge rules: a single event opens one open-ended interval;
+    consecutive equal values collapse; equal timestamps order by the
+    tiebreak column; intervals chain contiguously (valid_to of row i equals
+    valid_from of row i+1)."""
+    from instructionspipe_spark.operators.eventflow import scd2_intervals
+
+    rows = [
+        # user 1: a,a,b at ts 1,2,3 -> [a@1..3) [b@3..)
+        (1, "a", 1, 10),
+        (1, "a", 2, 11),
+        (1, "b", 3, 12),
+        # user 2: equal ts 5, tiebreak orders x(id=1) then y(id=2)
+        (2, "x", 5, 1),
+        (2, "y", 5, 2),
+        # user 3: single event -> open interval
+        (3, "z", 7, 30),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "state", "ts", "eid"])
+    got = sorted(
+        map(tuple, scd2_intervals(df, "uid", "state", "ts", "eid").collect())
+    )
+    assert got == sorted(
+        [
+            (1, "a", 1, 3),
+            (1, "b", 3, None),
+            (2, "x", 5, 5),
+            (2, "y", 5, None),
+            (3, "z", 7, None),
+        ]
+    )

@@ -378,3 +378,19 @@ def test_ivfsq_shortlist_is_integer_exact(spark):
         assert rs[0]["cosine"] == 1.0
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_gate_rotation_names_resolve():
+    """Every name in __spark_entry__._GATE_FIRST must exist in the registry:
+    a typo'd or stale name silently drops out of _rotated()'s head and
+    shrinks the driver's 50-query gate window without any visible failure."""
+    from instructionspipe_spark.registry import ORACLES, QUERIES
+
+    missing = [n for n in entrymod._GATE_FIRST if n not in QUERIES]
+    assert not missing, f"gate names not in registry: {missing}"
+    # the gate hashes values, so the head must all be full-oracle rows
+    no_oracle = [n for n in entrymod._GATE_FIRST[:50] if n not in ORACLES]
+    assert not no_oracle, f"gate-window rows without oracle SQL: {no_oracle}"
+    # and the window must be exactly full: fewer than 50 resolved head rows
+    # means the driver samples rows we did not choose
+    assert len([n for n in entrymod._GATE_FIRST if n in QUERIES]) >= 50
