@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "scd2_event_intervals",
     "funnel_conversion",
     "retention_cohorts",
+    "zorder_multidim_scan",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -6987,3 +6987,67 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = _t(spark, sf_dir, "events")
     return retention_matrix(events, "user_id", "ts")
+
+
+def _zorder_scratch(sf_dir: str) -> str:
+    """Materialize the Z-ordered copy of events once per sf_dir (the layout
+    rows' ingest-fixture pattern, _layout_scratch sibling): clustered on
+    the Morton key of (user_id, value) quantile buckets with 256 KiB row
+    groups, so multi-predicate scans skip row groups on min/max stats.
+    Idempotent via a _DONE marker; bump the version tag on generator
+    changes."""
+    from instructionspipe_spark.sources.layout import write_zordered
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    scratch = os.path.join(root, ".layout_scratch", sf_name, "events_zorder_v1")
+    done = os.path.join(scratch, "_DONE")
+    if not os.path.exists(done):
+        from instructionspipe_spark.session import get_spark
+
+        spark = get_spark()
+        events = load_tables(spark, sf_dir, ["events"])["events"]
+        write_zordered(
+            events, scratch, ["user_id", "value"], bits=4, n_files=8,
+            row_group_bytes=1 << 18,
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return scratch
+
+
+@query(
+    "zorder_multidim_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id BETWEEN 10 AND 20 AND value BETWEEN 0.0 AND 10.0
+    GROUP BY event_type
+    """,
+)
+def zorder_multidim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (sources/layout.py, the Delta OPTIMIZE ZORDER BY
+    technique) — the third leg of the storage-layout story next to
+    bucketed joins and hive partition pruning: events rewritten clustered
+    on the Morton interleave of (user_id, value) quantile buckets, so a
+    scan filtering BOTH dimensions skips row groups on parquet min/max
+    stats — measured 8.5k of 100k rows through the scan at sf0.1 (the
+    skipping factor is pinned in tests/test_plans.py). Hash equality
+    against the unclustered oracle proves the layout moves the scan,
+    never the result."""
+    _t(spark, sf_dir, "events")  # nanos conf parity
+    scratch = _zorder_scratch(sf_dir)
+    events = spark.read.parquet(scratch)
+    return (
+        events.filter(
+            F.col("user_id").between(10, 20) & F.col("value").between(0.0, 10.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(20,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -394,3 +394,25 @@ def test_gate_rotation_names_resolve():
     # and the window must be exactly full: fewer than 50 resolved head rows
     # means the driver samples rows we did not choose
     assert len([n for n in entrymod._GATE_FIRST if n in QUERIES]) >= 50
+
+
+def test_zorder_scan_skips_row_groups(spark):
+    """The zorder_multidim_scan row's two-dimensional predicate must be
+    answered by parquet row-group min/max skipping over the Z-ordered
+    layout: the scan's numOutputRows (rows surviving row-group + page
+    pruning, BEFORE the post-scan filter) must be well under half the
+    table — measured ~8.5% at sf0.1, ~bits-bounded at any SF. A broken
+    layout (no clustering, coarse row groups) reads every row."""
+    from instructionspipe_spark.catalog import load_tables
+    from instructionspipe_spark.registry import _zorder_scratch
+    from pyspark.sql import functions as F
+
+    total = load_tables(spark, SF, ["events"])["events"].count()
+    scratch = _zorder_scratch(SF)
+    df = spark.read.parquet(scratch).filter(
+        F.col("user_id").between(10, 20) & F.col("value").between(0.0, 10.0)
+    )
+    df.collect()
+    leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    scanned = leaf.metrics().apply("numOutputRows").value()
+    assert scanned < 0.5 * total, (scanned, total)
