@@ -6989,7 +6989,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_matrix(events, "user_id", "ts")
 
 
-def _zorder_scratch(sf_dir: str) -> str:
+def _zorder_scratch(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the Z-ordered copy of events once per sf_dir (the layout
     rows' ingest-fixture pattern, _layout_scratch sibling): clustered on
     the Morton key of (user_id, value) quantile buckets with 256 KiB row
@@ -7003,9 +7003,6 @@ def _zorder_scratch(sf_dir: str) -> str:
     scratch = os.path.join(root, ".layout_scratch", sf_name, "events_zorder_v1")
     done = os.path.join(scratch, "_DONE")
     if not os.path.exists(done):
-        from instructionspipe_spark.session import get_spark
-
-        spark = get_spark()
         events = load_tables(spark, sf_dir, ["events"])["events"]
         write_zordered(
             events, scratch, ["user_id", "value"], bits=4, n_files=8,
@@ -7037,7 +7034,7 @@ def zorder_multidim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the unclustered oracle proves the layout moves the scan,
     never the result."""
     _t(spark, sf_dir, "events")  # nanos conf parity
-    scratch = _zorder_scratch(sf_dir)
+    scratch = _zorder_scratch(spark, sf_dir)
     events = spark.read.parquet(scratch)
     return (
         events.filter(

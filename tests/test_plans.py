@@ -408,7 +408,7 @@ def test_zorder_scan_skips_row_groups(spark):
     from pyspark.sql import functions as F
 
     total = load_tables(spark, SF, ["events"])["events"].count()
-    scratch = _zorder_scratch(SF)
+    scratch = _zorder_scratch(spark, SF)
     df = spark.read.parquet(scratch).filter(
         F.col("user_id").between(10, 20) & F.col("value").between(0.0, 10.0)
     )
