@@ -65,10 +65,11 @@ _GATE_FIRST = (
     "stratified_corpus_sample", "temperature_mixture", "shard_summary",
     "length_quantile_filter_approx", "document_chunks", "tfidf_top_terms",
     "unigram_doc_logprob",
-    # -- past the 50-window: leads r9 (27 new + 23 r5-stale fill the gate
-    # exactly; zorder_multidim_scan is the one r8 row deferred to r9 — it
-    # carries its own pytest metric pin plus the 2-SF full record) --------
-    "zorder_multidim_scan",
+    # -- past the 50-window: lead r9 (27 new + 23 r5-stale fill the gate
+    # exactly; zorder_multidim_scan and streaming_cdc_equiv are the two r8
+    # rows deferred to r9 — both carry their own pytest pins plus the 2-SF
+    # full record) --------------------------------------------------------
+    "zorder_multidim_scan", "streaming_cdc_equiv",
     # -- r6-gated backfill -------------------------------------------------
     "char_entropy_quality", "incremental_batch_dedup", "similarity_pq_topk",
     "similarity_ivfadc_topk", "template_block_strip", "lsh_bucket_stats",

@@ -6807,9 +6807,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cdc_merge_apply",
-    oracle="""
+_CDC_MERGED_ORACLE = """
     WITH snap AS (
         SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice FROM orders
     ),
@@ -6843,8 +6841,10 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_orderstatus,
            CAST(ROUND(CAST(o_totalprice AS DECIMAL(25,6)), 2) AS DOUBLE) AS o_totalprice
     FROM merged WHERE op IS NULL OR op <> 'D'
-    """,
-)
+    """
+
+
+@query("cdc_merge_apply", oracle=_CDC_MERGED_ORACLE)
 def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC batch apply (lakehouse MERGE INTO semantics, operators/cdc.py):
     a deterministic change feed derived from orders — upserts (price bump
@@ -7047,4 +7047,63 @@ def zorder_multidim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
+    )
+
+
+@query("streaming_cdc_equiv", oracle=_CDC_MERGED_ORACLE)
+def streaming_cdc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-equals-batch for the CDC MERGE sink (streaming/jobs.py
+    stream_cdc_apply): the cdc_merge_apply change feed split CHRONOLOGICALLY
+    into two micro-batches — batch 0 carries the seq-1 upserts, batch 1 the
+    seq-2 deletes (overriding a third of the upserts) and inserts — each
+    applied to a VERSIONED snapshot through the idempotent foreachBatch
+    rule (a retried batch reads the newest version strictly below its own
+    id and overwrites its own dir). The final snapshot must hash-equal the
+    one-shot batch MERGE oracle: sequential per-batch application and
+    global last-writer-wins compaction agree whenever (key, seq) is unique
+    — the property the CDC replay pytest checks in general."""
+    from instructionspipe_spark.streaming.jobs import stream_cdc_apply
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    op = os.path.join(sf_dir, "orders.parquet")
+    scratch = _stream_twin_inputs(
+        sf_dir,
+        "cdc_feed_v1",
+        [
+            (
+                "b0.parquet",
+                f"""SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
+                    'P' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+                    FROM '{op}' WHERE o_orderkey % 7 = 0""",
+            ),
+            (
+                "b1.parquet",
+                f"""SELECT o_orderkey, 2 AS seq, 'D' AS op, o_custkey,
+                    o_orderstatus, o_totalprice
+                    FROM '{op}' WHERE o_orderkey % 21 = 0
+                    UNION ALL
+                    SELECT -o_orderkey - 1, 2, 'U', o_custkey, 'O', 42.0
+                    FROM '{op}' WHERE o_orderkey % 13 = 0""",
+            ),
+        ],
+    )
+    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(scratch).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(scratch)
+    )
+    run_dir = _runner_run_dir(sf_dir, "cdc_state_v1")
+    snap = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    final = stream_cdc_apply(
+        stream, snap, "o_orderkey", "seq", "op",
+        state_dir=os.path.join(run_dir, "state"),
+        checkpoint=os.path.join(run_dir, "ckpt"),
+    )
+    return final.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("decimal(25,6)"), 2).cast("double").alias("o_totalprice"),
     )

@@ -488,3 +488,64 @@ def stream_interval_join(
     )
     out = lw.join(rw, cond, how)
     return out.drop(*[f"__rk_{k}" for k in key_cols])
+
+
+def stream_cdc_apply(
+    stream_df: DataFrame,
+    snapshot_init: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str,
+    state_dir: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Streaming MERGE INTO (the streaming face of operators/cdc.py): each
+    micro-batch of the change feed is compacted last-writer-wins and
+    applied to the current snapshot, which is VERSIONED per batch —
+    ``snap_v{batch_id}`` parquet dirs, the foreachBatch idempotence rule:
+    a retried batch reads the newest version STRICTLY BELOW its own id
+    (never its own partial first attempt) and overwrites its own dir, so
+    replays converge instead of double-applying. Drains with availableNow
+    and returns the final snapshot.
+
+    Driver-local ``os.listdir`` versioning is the sandbox simplification —
+    an object-store deployment lists via the Hadoop FileSystem API exactly
+    as plans/cache.py:_list_cache_files does, or rides a real table format
+    (this operator IS Delta/Iceberg MERGE semantics on plain parquet)."""
+    import os
+
+    from instructionspipe_spark.operators.cdc import apply_changes, latest_change_per_key
+
+    spark = stream_df.sparkSession
+
+    def versions() -> list:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            int(d.split("_v", 1)[1])
+            for d in os.listdir(state_dir)
+            if d.startswith("snap_v")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        prior = [v for v in versions() if v < batch_id]
+        prev = (
+            spark.read.parquet(os.path.join(state_dir, f"snap_v{prior[-1]}"))
+            if prior
+            else snapshot_init
+        )
+        compact = latest_change_per_key(batch_df, key, seq_col, op_col).drop(seq_col)
+        out = apply_changes(prev, compact, key, op_col=op_col)
+        out.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"snap_v{batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    vs = versions()
+    return spark.read.parquet(os.path.join(state_dir, f"snap_v{vs[-1]}"))

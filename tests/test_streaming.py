@@ -539,3 +539,48 @@ def test_stream_interval_join_left_outer_null_emission(spark, tmp_path):
     # and the left key SURVIVES on the null row (the self-join drop
     # regression this helper fixes)
     assert pairs == [(10, 90), (11, None)]
+
+
+def test_stream_cdc_apply_replay_converges(spark, tmp_path):
+    """The streaming MERGE sink's idempotence rule: replaying the WHOLE
+    feed against an existing state dir (fresh checkpoint — the crashed-and
+    -restarted-job case) must converge to the same final snapshot, because
+    every batch reads the newest version strictly below its own id, never
+    its own earlier write."""
+    import os
+
+    from instructionspipe_spark.streaming.jobs import stream_cdc_apply
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    b0 = spark.createDataFrame([(1, 1, "U", "a2"), (4, 1, "U", "d")], ["k", "seq", "op", "v"])
+    b1 = spark.createDataFrame([(2, 2, "D", None), (4, 2, "U", "d2")], ["k", "seq", "op", "v"])
+    b0.coalesce(1).write.parquet(os.path.join(feed_dir, "b0"))
+    b1.coalesce(1).write.parquet(os.path.join(feed_dir, "b1"))
+    # the file source orders micro-batches by PART-FILE mtime — pin it on
+    # every file so b0 strictly precedes b1 (batch order matters: b1's
+    # delete/second-upsert must apply over b0's state)
+    for sub, t in (("b0", 1_700_000_000), ("b1", 1_700_000_100)):
+        d = os.path.join(feed_dir, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_dir)
+        )
+        out = stream_cdc_apply(
+            stream, snap, "k", "seq", "op",
+            state_dir=str(tmp_path / "state"), checkpoint=str(tmp_path / ckpt),
+        )
+        return {r["k"]: r["v"] for r in out.collect()}
+
+    expect = {1: "a2", 3: "c", 4: "d2"}
+    assert run("ckpt1") == expect
+    # full replay against the surviving state dir: fresh checkpoint, same state
+    assert run("ckpt2") == expect
