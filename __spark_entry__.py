@@ -69,7 +69,7 @@ _GATE_FIRST = (
     # exactly; zorder_multidim_scan and streaming_cdc_equiv are the two r8
     # rows deferred to r9 — both carry their own pytest pins plus the 2-SF
     # full record) --------------------------------------------------------
-    "zorder_multidim_scan", "streaming_cdc_equiv",
+    "zorder_multidim_scan", "streaming_cdc_equiv", "ivfsq_trained_recall",
     # -- r6-gated backfill -------------------------------------------------
     "char_entropy_quality", "incremental_batch_dedup", "similarity_pq_topk",
     "similarity_ivfadc_topk", "template_block_strip", "lsh_bucket_stats",

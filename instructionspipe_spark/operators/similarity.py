@@ -1091,3 +1091,128 @@ def ivfsq_topk_deterministic(
         .select(query_id, corpus_id)
     )
     return _pq_rerank(shortlist, c, q, k, corpus_id, query_id)
+
+
+def ivfsq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    rerank: int = 50,
+    seed: int = 42,
+    max_iter: int = 10,
+    n_assign: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """TRAINED IVF+SQ8: KMeans coarse cells (the ivf_topk trainer — fixed
+    seed, model fit on the corpus, at 100 TB on a sample) + the SQ8 code
+    path of :func:`ivfsq_topk_deterministic` (symmetric integer code
+    distance shortlist, exact-cosine rerank). ``n_assign`` indexes each
+    corpus vector in its n nearest cells (ivfadc_topk's boundary-loss
+    recovery — without it a truth neighbor just across a cell boundary is
+    invisible to every probe). The iterative trainer makes this
+    non-SQL-expressible, so the driver-gated contract is the bounded
+    recall row (`ivfsq_trained_recall`), exactly the N33 pattern used for
+    trained IVFADC/PQ."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from instructionspipe_spark.functions.vectors import l2_normalize
+    from instructionspipe_spark.session import ensure_parallelism, managed_persist
+
+    corpus = ensure_parallelism(corpus)
+    c_vec = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec),
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("__mlvec"),
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__mlvec", predictionCol="__cell",
+    ).fit(c_vec)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers_col = F.array(*[
+        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(x) for x in c]).alias("center"))
+        for i, c in enumerate(centers)
+    ])
+
+    def nearest_cells(df: DataFrame, raw_vec: Column, n_keep: int) -> DataFrame:
+        """Explode each row into its n_keep nearest cells (L2 to the literal
+        centroid array — the ivf_topk probe expression, reused for corpus
+        multiple assignment)."""
+        return df.withColumn(
+            "__cells",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        centers_col,
+                        lambda s: F.struct(
+                            F.aggregate(
+                                F.zip_with(raw_vec, s["center"], lambda a, b: (a - b) * (a - b)),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            ).alias("dist"),
+                            s["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                n_keep,
+            ),
+        ).select(*df.columns, F.explode(F.col("__cells")["cell"]).alias("__cell"))
+
+    c_norm = managed_persist(
+        corpus.select(
+            F.col(corpus_id),
+            l2_normalize(F.col(corpus_vec)).alias("__cnv"),
+            F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        )
+    )
+    c_cells = nearest_cells(c_norm, F.col("__cv"), n_assign).select(
+        corpus_id, "__cnv", "__cell"
+    )
+    stats = _sq_stats(c_norm)
+    enc_c = c_cells.crossJoin(F.broadcast(stats)).select(
+        F.col(corpus_id),
+        F.col("__cell"),
+        _sq_encode(F.col("__cnv"), F.col("__mns"), F.col("__mxs")).alias("__codes"),
+    )
+
+    q = queries.select(
+        F.col(query_id),
+        l2_normalize(F.col(query_vec)).alias("__qnv"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    probed = nearest_cells(q, F.col("__qv"), n_probe).select(query_id, "__qnv", "__cell")
+    enc_q = probed.crossJoin(F.broadcast(stats)).select(
+        F.col(query_id),
+        F.col("__cell"),
+        _sq_encode(F.col("__qnv"), F.col("__mns"), F.col("__mxs")).alias("__qcodes"),
+    )
+    d2 = (
+        enc_c.join(F.broadcast(enc_q), "__cell")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.aggregate(
+                F.zip_with(F.col("__qcodes"), F.col("__codes"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("__d2"),
+        )
+        # multiple assignment can surface the same (query, vec) pair through
+        # two shared cells — collapse before ranking (the distances agree)
+        .groupBy(query_id, corpus_id)
+        .agg(F.min("__d2").alias("__d2"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("__d2"), F.asc(corpus_id))
+    shortlist = (
+        d2.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank)
+        .select(query_id, corpus_id)
+    )
+    corpus_nv = c_norm.select(F.col(corpus_id), F.col("__cnv"))
+    return _pq_rerank(shortlist, corpus_nv, q.select(F.col(query_id), F.col("__qnv")), k, corpus_id, query_id)

@@ -7107,3 +7107,21 @@ def streaming_cdc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice").cast("decimal(25,6)"), 2).cast("double").alias("o_totalprice"),
     )
+
+
+@query("ivfsq_trained_recall", oracle=_trained_ann_oracle())
+def ivfsq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF+SQ8 configuration (operators/similarity.py
+    ivfsq_topk: KMeans coarse cells, SQ8 symmetric-integer shortlist of
+    200, n_probe=4, exact rerank) gated as a bounded recall contract vs
+    the exact brute-force baseline both engines compute — the N33 pattern,
+    extended to the quantization family's newest member. recall_ok =
+    per-query hits >= ceil(0.6 * k); measured r8: mean 0.971 / min 0.80
+    at sf0.01 (n_assign=2 multiple assignment is load-bearing — single
+    assignment dropped one query below the bound)."""
+    from instructionspipe_spark.operators.similarity import ivfsq_topk
+
+    return _trained_ann_contract(
+        spark, sf_dir,
+        lambda emb, q: ivfsq_topk(emb, q, k=5, n_cells=8, n_probe=4, rerank=200),
+    )
