@@ -127,6 +127,32 @@ def gen_embeddings(rng: np.random.RandomState, n: int, dim: int = 64) -> pa.Tabl
     )
 
 
+def gen_events(rng: np.random.RandomState, n: int) -> pa.Table:
+    """Events under the measured sf0.1 laws: ~66 events/user (users =
+    n/66), ts uniform over the same 30-day window, 5 uniform event types,
+    value ~ Exp(mean 50) clipped at 560 and rounded to cents, props the
+    single-key JSON. Keeps the calendar span FIXED as n grows (the driver's
+    own law: sf0.01 -> sf0.1 grows density, not duration), so windowed /
+    cohort operators scale by per-window mass, not window count."""
+    n_users = max(1, n // 66)
+    base_us = np.int64(1_704_067_200_000_000)  # 2024-01-01 UTC in epoch-us
+    span_us = np.int64(30 * 24 * 3600 * 1_000_000)
+    ts_us = base_us + rng.randint(0, span_us, size=n, dtype=np.int64)
+    types = np.array(["signup", "click", "error", "view", "purchase"])
+    value = np.round(np.clip(rng.exponential(50.0, size=n), 0.0, 560.0), 2)
+    k = rng.randint(0, 100, size=n)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "user_id": pa.array(rng.randint(0, n_users, size=n), type=pa.int64()),
+            "event_type": pa.array(types[rng.randint(0, 5, size=n)]),
+            "value": pa.array(value, type=pa.float64()),
+            "props": pa.array(['{"k": %d}' % x for x in k]),
+        }
+    )
+
+
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -139,7 +165,13 @@ def main() -> int:
     pq.write_table(docs, os.path.join(out, "documents.parquet"))
     emb = gen_embeddings(rng, n_vecs)
     pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
-    print(f"wrote {n_docs} documents ({vocab}-word vocab), {n_vecs} embeddings -> {out}")
+    n_events = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", str(n_docs * 20)))
+    ev = gen_events(rng, n_events)
+    pq.write_table(ev, os.path.join(out, "events.parquet"))
+    print(
+        f"wrote {n_docs} documents ({vocab}-word vocab), {n_vecs} embeddings, "
+        f"{n_events} events -> {out}"
+    )
     return 0
 
 
