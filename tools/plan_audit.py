@@ -125,6 +125,7 @@ def main() -> int:
                 # cartesian IS the contract's truth side, not the scale path
                 # (which is the banded/celled variant under test).
                 "ivfadc_trained_recall", "pq_trained_recall", "semantic_dedup_trained",
+                "ivfsq_trained_recall",
                 # The RAG row deliberately uses the exact brute-force
                 # retriever so its oracle replays every stage; the gated
                 # IVF/PQ/LSH rows are the documented drop-in for the
