@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "retention_cohorts",
     "zorder_multidim_scan",
+    "funnel_windowed",
+    "user_value_outliers",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

@@ -48,10 +48,20 @@ def funnel_counts(
     type_col: str,
     ts_col: str,
     steps: list[str],
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel completion counts: how many entities performed
     ``steps[0]``, then ``steps[1]`` STRICTLY AFTER it, then ``steps[2]``
     strictly after that, ... Emits one row per step: (step, n_users).
+    ``max_gap`` (an INTERVAL string, e.g. ``"7 days"``) bounds each
+    step-to-step gap — the conversion-window form every real funnel uses
+    (a purchase a year after the click is not a conversion). Semantics are
+    FIRST-QUALIFYING-EVENT greedy (each stage anchors on the earliest
+    event that qualifies against the previous frontier — the
+    Amplitude/Mixpanel funnel convention), not a global search over event
+    subsequences; a user whose only conversion path routes through a LATER
+    step event is counted out, by design, in both this plan and the
+    oracle.
 
     Plan: stage i is a groupBy(key) MIN(ts) over the step's events filtered
     against stage i-1's frontier — each stage is one key-bounded aggregate
@@ -75,9 +85,12 @@ def funnel_counts(
             # key-co-partitioned SMJ).
             from instructionspipe_spark.session import broadcast_if_small
 
+            gap_ok = F.lit(True)
+            if max_gap is not None:
+                gap_ok = F.col(ts_col) <= F.col("__prev") + F.expr(f"INTERVAL {max_gap}")
             stage = (
                 ev.join(broadcast_if_small(frontier.withColumnRenamed("__t", "__prev")), key)
-                .filter(F.col(ts_col) > F.col("__prev"))
+                .filter((F.col(ts_col) > F.col("__prev")) & gap_ok)
                 .groupBy(key)
                 .agg(F.min(ts_col).alias("__t"))
             )

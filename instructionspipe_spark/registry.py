@@ -7125,3 +7125,89 @@ def ivfsq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         lambda emb, q: ivfsq_topk(emb, q, k=5, n_cells=8, n_probe=4, rerank=200),
     )
+
+
+@query(
+    "funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t
+          AND e.ts <= s1.t + INTERVAL 3 DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          AND e.ts <= s2.t + INTERVAL 3 DAY
+        GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'step2_click', COUNT(*) FROM s2
+    UNION ALL SELECT 'step3_purchase', COUNT(*) FROM s3
+    """,
+)
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (funnel_conversion with max_gap='3 days'):
+    each step must land within 3 days of the previous frontier —
+    first-qualifying-event greedy, the Amplitude/Mixpanel convention,
+    replayed identically by the oracle. Same key-bounded aggregate chain;
+    the window predicate is one more filter on the already-joined frame."""
+    from instructionspipe_spark.operators.eventflow import funnel_counts
+
+    (events,) = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        events, "user_id", "event_type", "ts",
+        ["view", "click", "purchase"], max_gap="3 days",
+    )
+
+
+@query(
+    "user_value_outliers",
+    oracle="""
+    WITH fences AS (
+        SELECT user_id,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e JOIN fences f ON f.user_id = e.user_id
+    GROUP BY e.user_id
+    """,
+)
+def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly counts via Tukey fences: flag events whose value
+    exceeds q3 + 1.5*IQR of THAT USER's value distribution. Quantiles are
+    exact interpolated order statistics (Spark `percentile` == DuckDB
+    `quantile_cont`), so the fence is selection-plus-one-interpolation —
+    deterministic across engines with no sum-order sensitivity (the reason
+    this row uses IQR fences rather than mean/stddev z-scores: variance is
+    an order-sensitive double sum). Plan: one key-bounded quantile
+    aggregate joined back on the key — co-partitioned, the fences frame is
+    entity-bounded."""
+    from instructionspipe_spark.session import broadcast_if_small
+
+    (events,) = _t(spark, sf_dir, "events")
+    fences = events.groupBy(F.col("user_id").alias("__uid")).agg(
+        F.expr("percentile(value, 0.25)").alias("__q1"),
+        F.expr("percentile(value, 0.75)").alias("__q3"),
+    )
+    fence = F.col("__q3") + F.lit(1.5) * (F.col("__q3") - F.col("__q1"))
+    return (
+        events.join(broadcast_if_small(fences), F.col("__uid") == F.col("user_id"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > fence, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
