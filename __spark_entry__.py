@@ -70,7 +70,7 @@ _GATE_FIRST = (
     # rows deferred to r9 — both carry their own pytest pins plus the 2-SF
     # full record) --------------------------------------------------------
     "zorder_multidim_scan", "streaming_cdc_equiv", "ivfsq_trained_recall",
-    "funnel_windowed", "user_value_outliers",
+    "funnel_windowed", "user_value_outliers", "event_transitions",
     # -- r6-gated backfill -------------------------------------------------
     "char_entropy_quality", "incremental_batch_dedup", "similarity_pq_topk",
     "similarity_ivfadc_topk", "template_block_strip", "lsh_bucket_stats",

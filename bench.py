@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "zorder_multidim_scan",
     "funnel_windowed",
     "user_value_outliers",
+    "event_transitions",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

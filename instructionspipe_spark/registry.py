@@ -7211,3 +7211,61 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("value") > fence, 1).otherwise(0)).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, to_type, COUNT(*) AS n_transitions
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT from_type, SUM(n_transitions) AS t FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n_transitions,
+           CAST(ROUND(c.n_transitions / tot.t, 6) AS DOUBLE) AS probability
+    FROM c JOIN tot ON tot.from_type = c.from_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix (the Markov-chain census of
+    product analytics): per user, consecutive event pairs under the
+    (ts, event_id) ordering; global transition counts and per-source-state
+    probabilities. One window sort on the user key (shared with the SCD2
+    row's shape), then a type-pair-bounded aggregate (|types|^2 rows) —
+    the probability division is exact-int / exact-int, identical in any
+    engine."""
+    from instructionspipe_spark.session import broadcast_if_small
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy(F.col("from_type").alias("__ft")).agg(
+        F.sum("n_transitions").alias("__t")
+    )
+    return (
+        counts.join(broadcast_if_small(totals), F.col("__ft") == F.col("from_type"))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("__t"), 6)
+            .cast("double")
+            .alias("probability"),
+        )
+    )
