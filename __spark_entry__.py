@@ -71,6 +71,7 @@ _GATE_FIRST = (
     # full record) --------------------------------------------------------
     "zorder_multidim_scan", "streaming_cdc_equiv", "ivfsq_trained_recall",
     "funnel_windowed", "user_value_outliers", "event_transitions",
+    "funnel_latency",
     # -- r6-gated backfill -------------------------------------------------
     "char_entropy_quality", "incremental_batch_dedup", "similarity_pq_topk",
     "similarity_ivfadc_topk", "template_block_strip", "lsh_bucket_stats",

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "funnel_windowed",
     "user_value_outliers",
     "event_transitions",
+    "funnel_latency",
     # near_dup_components is deliberately NOT benched: its driver-side
     # iterative loop runs actions at BUILD time, so a noop-sink timing of
     # the final frame would measure only the last join, not the algorithm.

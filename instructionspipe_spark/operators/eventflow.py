@@ -134,3 +134,43 @@ def retention_matrix(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(key).alias("n_active"))
     )
+
+
+def funnel_stage_times(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+    max_gap: str | None = None,
+) -> DataFrame:
+    """Per-entity funnel frontier timestamps: one row per entity that
+    completed step 1, with columns ``t1..tn`` (NULL from the first
+    uncompleted step on) under the same first-qualifying-event greedy as
+    :func:`funnel_counts`. The latency-analysis face of the funnel: gaps
+    ``t2-t1``, ``t3-t2`` are the time-to-convert distributions."""
+    from instructionspipe_spark.session import broadcast_if_small
+
+    stages: list[DataFrame] = []
+    prev = None  # (key, __prev): the previous stage's frontier timestamps
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(type_col) == step)
+        col = f"t{i + 1}"
+        if prev is None:
+            stage = ev.groupBy(key).agg(F.min(ts_col).alias(col))
+        else:
+            gap_ok = F.lit(True)
+            if max_gap is not None:
+                gap_ok = F.col(ts_col) <= F.col("__prev") + F.expr(f"INTERVAL {max_gap}")
+            stage = (
+                ev.join(broadcast_if_small(prev), key)
+                .filter((F.col(ts_col) > F.col("__prev")) & gap_ok)
+                .groupBy(key)
+                .agg(F.min(ts_col).alias(col))
+            )
+        stages.append(stage)
+        prev = stage.select(key, F.col(col).alias("__prev"))
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.join(s, key, "left")
+    return out

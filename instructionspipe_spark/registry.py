@@ -7269,3 +7269,77 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("probability"),
         )
     )
+
+
+@query(
+    "funnel_latency",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    gaps AS (
+        SELECT s1.user_id,
+               epoch_us(s2.t2) - epoch_us(s1.t1) AS g12,
+               epoch_us(s3.t3) - epoch_us(s2.t2) AS g23
+        FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+                LEFT JOIN s3 ON s3.user_id = s1.user_id
+    )
+    SELECT 'view_to_click' AS stage, COUNT(g12) AS n_converters,
+           CAST(ROUND(quantile_cont(g12, 0.5) / 1000000.0, 4) AS DOUBLE) AS p50_s,
+           CAST(ROUND(quantile_cont(g12, 0.9) / 1000000.0, 4) AS DOUBLE) AS p90_s
+    FROM gaps
+    UNION ALL
+    SELECT 'click_to_purchase', COUNT(g23),
+           CAST(ROUND(quantile_cont(g23, 0.5) / 1000000.0, 4) AS DOUBLE),
+           CAST(ROUND(quantile_cont(g23, 0.9) / 1000000.0, 4) AS DOUBLE)
+    FROM gaps
+    """,
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distributions (operators/eventflow.py
+    funnel_stage_times): per converting user, the gap between consecutive
+    funnel frontiers; per stage, the converter count and p50/p90 gap in
+    seconds. Gaps are exact integer microseconds; the quantiles are exact
+    interpolated order statistics (Spark `percentile` == DuckDB
+    `quantile_cont`), so the whole row is selection-exact across engines.
+    Same frontier-aggregate chain as funnel_conversion — the latency face
+    costs one extra left-join spine over the step-1 completers."""
+    from instructionspipe_spark.operators.eventflow import funnel_stage_times
+
+    (events,) = _t(spark, sf_dir, "events")
+    t = funnel_stage_times(
+        events, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )
+    # timestampdiff works on NTZ directly (unix_micros wants LTZ and a
+    # session-tz round-trip; a pure difference should never see a timezone)
+    gaps = t.select(
+        F.expr("timestampdiff(MICROSECOND, t1, t2)").alias("g12"),
+        F.expr("timestampdiff(MICROSECOND, t2, t3)").alias("g23"),
+    )
+    def stage_row(name: str, g: str) -> DataFrame:
+        return gaps.agg(
+            F.count(F.col(g)).alias("n_converters"),
+            F.round(F.expr(f"percentile({g}, 0.5)") / F.lit(1000000.0), 4)
+            .cast("double")
+            .alias("p50_s"),
+            F.round(F.expr(f"percentile({g}, 0.9)") / F.lit(1000000.0), 4)
+            .cast("double")
+            .alias("p90_s"),
+        ).select(F.lit(name).alias("stage"), "n_converters", "p50_s", "p90_s")
+
+    return stage_row("view_to_click", "g12").unionByName(
+        stage_row("click_to_purchase", "g23")
+    )
