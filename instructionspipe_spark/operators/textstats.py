@@ -695,7 +695,18 @@ def bm25_topk(
         .join(doclen, id_col)
         .crossJoin(F.broadcast(totals))
         .groupBy("query_id", id_col)
-        .agg(F.round(F.sum(contrib), round_digits).alias("score"))
+        .agg(
+            # Exact-decimal sum of the 9-dp contributions: a plain double
+            # sum is association-order-sensitive and its ROUND can land on
+            # a half-ulp boundary where Spark and DuckDB disagree (the
+            # ivfsq_trained_recall escape class).
+            F.round(
+                F.sum(contrib.cast(f"decimal(25,{round_digits + 3})")),
+                round_digits,
+            )
+            .cast("double")
+            .alias("score")
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "score")
