@@ -578,20 +578,27 @@ def _pq_encode_score(
     scored = paired.select(
         query_id,
         corpus_id,
+        # The fold accumulates in exact DECIMAL: each LUT entry is a
+        # 6-dp-rounded double (recovered exactly by the decimal cast), and a
+        # plain double fold vs the oracle's arbitrary-order SUM can differ by
+        # an ulp, flipping the outer ROUND on a .xxxxx5 boundary and with it
+        # the shortlist membership (the ivfsq_trained_recall escape class).
         F.round(
             F.aggregate(
                 F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
+                F.lit(0).cast("decimal(38,6)"),
                 lambda acc, j: acc
                 + F.element_at(
                     F.col("__lut"),
                     (j * n_codes + F.element_at(F.col("__codes"), (j + 1).cast("int")) + 1).cast(
                         "int"
                     ),
-                ),
+                ).cast("decimal(25,6)"),
             ),
             rank_round,
-        ).alias("adc_dist"),
+        )
+        .cast("double")
+        .alias("adc_dist"),
     )
     w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(corpus_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -358,7 +358,20 @@ def unigram_doc_logprob(
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.round(F.avg(logp), round_digits).alias("mean_logprob"),
+            # Mean through an exact-decimal numerator: quantize each ln term
+            # to 12 dp (identical on both engines since the input double is
+            # identical), sum exactly (order-free), divide once in double,
+            # then quantize again before the final ROUND so neither engine's
+            # double-ROUND shortest-repr behavior can flip a boundary.
+            F.round(
+                (
+                    F.sum(logp.cast("decimal(25,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).cast("decimal(25,10)"),
+                round_digits,
+            )
+            .cast("double")
+            .alias("mean_logprob"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )

@@ -66,11 +66,11 @@ WITH scored AS (
 per_instruction AS (
     SELECT
         name,
-        ROUND(SUM(factuality) / COUNT(1), 2) AS avg_factuality,
+        CAST(ROUND(CAST(SUM(factuality) / COUNT(1) AS DECIMAL(25,6)), 2) AS DOUBLE) AS avg_factuality,
         MIN(factuality) AS min_factuality,
         MAX(factuality) AS max_factuality,
-        ROUND(SUM(high_factuality) / COUNT(1), 2) AS high_factuality_rate,
-        ROUND(SUM(eligibility) / COUNT(1), 2) AS avg_eligibility,
+        CAST(ROUND(CAST(SUM(high_factuality) / COUNT(1) AS DECIMAL(25,6)), 2) AS DOUBLE) AS high_factuality_rate,
+        CAST(ROUND(CAST(SUM(eligibility) / COUNT(1) AS DECIMAL(25,6)), 2) AS DOUBLE) AS avg_eligibility,
         COUNT(1) AS n
     FROM scored
     GROUP BY name

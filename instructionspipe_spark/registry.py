@@ -4318,7 +4318,9 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT term, COUNT(*) AS tc FROM toks GROUP BY term),
     totals AS (SELECT SUM(tc) AS n_tokens, COUNT(*) AS vocab FROM freq)
     SELECT t.doc_id,
-           ROUND(AVG(ln((f.tc + 1.0) / (tot.n_tokens + CAST(tot.vocab AS DOUBLE)))), 6) AS mean_logprob,
+           CAST(ROUND(CAST(CAST(SUM(CAST(ln((f.tc + 1.0) / (tot.n_tokens + CAST(tot.vocab AS DOUBLE)))
+                             AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*)
+                  AS DECIMAL(25,10)), 6) AS DOUBLE) AS mean_logprob,
            COUNT(*) AS n_tokens
     FROM toks t JOIN freq f USING (term), totals tot
     GROUP BY t.doc_id
@@ -4572,7 +4574,8 @@ def _pq_topk_oracle(m: int = 4, n_codes: int = 8, k: int = 5, rerank: int = 50) 
         FROM qsub q JOIN cbsub c ON q.j = c.j
     ),
     adc AS (
-        SELECT l.query_id, e.vec_id, ROUND(SUM(l.d2), 6) AS adc_dist
+        SELECT l.query_id, e.vec_id,
+               CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(25,6))), 6) AS DOUBLE) AS adc_dist
         FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
         GROUP BY l.query_id, e.vec_id
     ),
@@ -4689,7 +4692,8 @@ def _ivfadc_topk_oracle(
         FROM qsub q JOIN cbsub c ON q.j = c.j
     ),
     adc AS (
-        SELECT l.query_id, e.vec_id, ROUND(SUM(l.d2), 6) AS adc_dist
+        SELECT l.query_id, e.vec_id,
+               CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(25,6))), 6) AS DOUBLE) AS adc_dist
         FROM cand p
         JOIN enc e ON e.vec_id = p.vec_id
         JOIN lut l ON l.query_id = p.query_id AND l.j = e.j AND l.code = e.code
@@ -4839,7 +4843,9 @@ def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals AS (SELECT SUM(tc) AS n_tokens, COUNT(*) AS vocab FROM freq),
     scores AS (
         SELECT t.doc_id,
-               ROUND(AVG(ln((f.tc + 1.0) / (tot.n_tokens + CAST(tot.vocab AS DOUBLE)))), 6) AS mean_logprob,
+               CAST(ROUND(CAST(CAST(SUM(CAST(ln((f.tc + 1.0) / (tot.n_tokens + CAST(tot.vocab AS DOUBLE)))
+                             AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*)
+                  AS DECIMAL(25,10)), 6) AS DOUBLE) AS mean_logprob,
                COUNT(*) AS n_tokens
         FROM toks t JOIN freq f USING (term), totals tot
         GROUP BY t.doc_id
@@ -5704,11 +5710,11 @@ def _judge_cfg_metrics_oracle(models=("m1", "m2")) -> str:
         FROM scored
     )
     SELECT name,
-           ROUND(SUM(factuality) / COUNT(1), 2) AS avg_factuality,
+           CAST(ROUND(CAST(SUM(factuality) / COUNT(1) AS DECIMAL(25,6)), 2) AS DOUBLE) AS avg_factuality,
            MIN(factuality) AS min_factuality,
            MAX(factuality) AS max_factuality,
-           ROUND(SUM(high) / COUNT(1), 2) AS high_factuality_rate,
-           ROUND(SUM(eligibility) / COUNT(1), 2) AS avg_eligibility,
+           CAST(ROUND(CAST(SUM(high) / COUNT(1) AS DECIMAL(25,6)), 2) AS DOUBLE) AS high_factuality_rate,
+           CAST(ROUND(CAST(SUM(eligibility) / COUNT(1) AS DECIMAL(25,6)), 2) AS DOUBLE) AS avg_eligibility,
            COUNT(1) AS n
     FROM flagged
     GROUP BY name
