@@ -68,6 +68,21 @@ def apply_changes(
         F.col(op_col).alias("__op"),
         *[F.col(c).alias(f"__c_{c}") for c in data_cols],
     )
+    # Fail loudly on an op outside {'U','D'} (including NULL): without the
+    # guard, NULL op makes `has_change & (__op == 'D')` NULL, `~NULL` is
+    # NULL, and the filter silently DROPS the matched snapshot row — a
+    # malformed change acting as a delete.
+    ch = ch.withColumn(
+        "__op",
+        F.when(F.col("__op").isin("U", "D"), F.col("__op")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_changes: op must be 'U' or 'D', got "),
+                    F.coalesce(F.col("__op"), F.lit("NULL")),
+                )
+            )
+        ),
+    )
     joined = snapshot.join(ch, F.col(key) == F.col("__ck"), "full_outer")
     has_change = F.col("__ck").isNotNull()
     # A 'D' row is dropped whether matched (delete) or unmatched (no-op:

@@ -1514,7 +1514,11 @@ def _span_frames(
     payload bounded (32 hex chars) regardless of token lengths; md5 (not
     xxhash64) because the DuckDB oracle computes the identical digest, so
     parity is structural."""
-    assert k >= 2
+    if k < 2:
+        raise ValueError(
+            f"span dedup: window size k ({k}) must be >= 2 — a 1-token "
+            "window degenerates to exact token dedup"
+        )
     from instructionspipe_spark.session import ensure_parallelism
 
     df = ensure_parallelism(df)

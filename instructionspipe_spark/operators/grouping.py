@@ -59,7 +59,11 @@ def heavy_hitters(
     from pyspark.sql import types as T
 
     cap = capacity if capacity is not None else 8 * k
-    assert cap >= k
+    if cap < k:
+        raise ValueError(
+            f"heavy_hitters: capacity ({cap}) must be >= k ({k}) — a "
+            "Misra-Gries summary smaller than k cannot hold k candidates"
+        )
     item_type = df.schema[item_col].dataType
     out_schema = T.StructType([T.StructField(item_col, item_type)])
 

@@ -40,16 +40,30 @@ def write_bucketed(
     external (data at ``path``, metadata in the session catalog).
     """
     spark = df.sparkSession
+    parts = table.split(".")
+    if len(parts) > 2 or any(not s or "`" in s for s in parts):
+        raise ValueError(
+            f"write_bucketed: invalid table name {table!r} — expected "
+            "'table' or 'db.table' with non-empty, backtick-free segments"
+        )
+    quoted = ".".join(f"`{s}`" for s in parts)
     if mode == "overwrite":
-        # A managed-table LOCATION can outlive the catalog entry (the
-        # warehouse dir persists across sessions, the in-memory catalog does
-        # not); saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
-        # overwrite mode. Drop the entry and clear an orphaned location.
-        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-        if path is None:
+        if spark.catalog.tableExists(table):
+            # DROP TABLE removes a MANAGED table's data itself (and leaves
+            # EXTERNAL data alone) — no path reconstruction needed.
+            spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        elif path is None and len(parts) == 1:
+            # Orphaned managed LOCATION from a previous session: the
+            # warehouse dir persists while the in-memory catalog does not,
+            # so saveAsTable fails with LOCATION_ALREADY_EXISTS even in
+            # overwrite mode. Only the unqualified default-database layout
+            # (warehouse/<table>) is safely reconstructible; qualified
+            # names have no catalog entry to derive a location from, so we
+            # refuse to guess and let saveAsTable fail loudly instead of
+            # recursively deleting a path that may hold unrelated data.
             jvm = spark._jvm
             loc = jvm.org.apache.hadoop.fs.Path(
-                spark.conf.get("spark.sql.warehouse.dir"), table.lower()
+                spark.conf.get("spark.sql.warehouse.dir"), parts[0].lower()
             )
             fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
             if fs.exists(loc):

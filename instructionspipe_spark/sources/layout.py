@@ -30,6 +30,13 @@ def zorder_key(bucket_cols: list[Column], bits: int = 8) -> Column:
     [0, 2^bits)) into one Morton key: bit j of column i lands at position
     ``j * n_cols + i``. Pure integer Column expression (codegen-friendly)."""
     n = len(bucket_cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key: bits ({bits}) * n_cols ({n}) = {bits * n} exceeds "
+            "63 — the Morton key would overflow the signed 64-bit long, "
+            "yielding negative keys and broken range clustering; lower bits "
+            "or cluster fewer columns"
+        )
     parts = [
         (F.shiftright(c.cast("long"), j) % 2) * F.lit(1 << (j * n + i)).cast("long")
         for i, c in enumerate(bucket_cols)

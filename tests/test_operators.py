@@ -1530,6 +1530,36 @@ def test_cdc_apply_changes_semantics(spark):
     assert got == {1: "a2", 3: "c", 4: "d", 7: "new"}
 
 
+def test_validation_guards(spark):
+    """Invalid-argument guards raise ValueError (not stripped-under-O
+    asserts), and a malformed CDC op fails loudly instead of silently
+    deleting the matched snapshot row."""
+    import pytest
+
+    from instructionspipe_spark.operators.cdc import apply_changes
+    from instructionspipe_spark.operators.dedup import _span_frames
+    from instructionspipe_spark.operators.grouping import heavy_hitters
+    from instructionspipe_spark.sources.bucketing import write_bucketed
+    from instructionspipe_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame([("x",)], "tok string")
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "tok", k=5, capacity=3)
+    with pytest.raises(ValueError, match="window size k"):
+        _span_frames(df.withColumnRenamed("tok", "text"), "text", "text", 1)
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_key([F.col("a")] * 8, bits=8)
+    with pytest.raises(ValueError, match="invalid table name"):
+        write_bucketed(df, "db.schema.tbl", ["tok"], 4)
+    with pytest.raises(ValueError, match="invalid table name"):
+        write_bucketed(df, "evil`; drop", ["tok"], 4)
+
+    snap = spark.createDataFrame([(1, "a")], ["k", "v"])
+    bad = spark.createDataFrame([(1, None, "a2")], "k int, op string, v string")
+    with pytest.raises(Exception, match="op must be 'U' or 'D'"):
+        apply_changes(snap, bad, "k").collect()
+
+
 def test_scd2_intervals_edges(spark):
     """SCD2 edge rules: a single event opens one open-ended interval;
     consecutive equal values collapse; equal timestamps order by the
