@@ -460,6 +460,136 @@ def bench_pressure() -> int:
     return 0
 
 
+def bench_fresh_one(name: str) -> int:
+    """Child process for --fresh: ONE query in a brand-new JVM — no other
+    plan has touched the codegen cache, heap, or broadcast manager. Prints
+    one JSON line {query, fresh, iqr, runs}."""
+    import __spark_entry__ as entrymod
+    from instructionspipe_spark import get_spark, load_tables
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    spark = get_spark(app_name=f"instructionspipe-spark-fresh-{name}")
+    queries = entrymod.queries()
+    tables = load_tables(spark, sf_dir)
+    tables["lineitem"].count()
+
+    def run_once() -> float:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run_once()  # warmup: codegen + footers, same discipline as main()
+    samples = [run_once() for _ in range(reps)]
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "fresh": round(_median(samples), 3),
+                "iqr": round(_iqr(samples), 3),
+                "runs": [round(s, 3) for s in samples],
+            }
+        )
+    )
+    return 0
+
+
+def _r1_baselines() -> dict[str, float]:
+    """Per-query r1 baseline medians, parsed from BENCH_r01.json's captured
+    output (its structured 'parsed' field is empty — r1 predates it)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_r01.json")) as f:
+            tail = json.load(f).get("tail", "")
+    except FileNotFoundError:
+        return {}
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r"# (\w+): materialized in ([0-9.]+)s", tail)
+    }
+
+
+def bench_fresh() -> int:
+    """Fresh-JVM isolation bench (VERDICT r8 item 6): run each watchlist
+    query in its OWN subprocess/JVM so nothing — not even the pressure
+    run's shared session — can attribute another plan's codegen-cache or
+    heap churn to it. This is the definitive methodology for the
+    vs-baseline gate on sub-second queries: the r1 baseline was recorded
+    in a 36-plan session, today's suite runs 89 plans in one JVM, so the
+    in-suite median measures session pressure, not the plan. Appends a
+    section to BENCH_PRESSURE.md. `python bench.py --fresh [names...]`."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names = args or PRESSURE_WATCHLIST
+    baselines = _r1_baselines()
+    try:
+        with open(os.path.join(here, "BENCH_SUMMARY.json")) as f:
+            suite_medians = json.load(f)["queries"]
+    except FileNotFoundError:
+        suite_medians = {}
+    rows = []
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--fresh-one", name],
+            capture_output=True,
+            text=True,
+            cwd=here,
+        )
+        line = next(
+            (l for l in out.stdout.splitlines() if l.startswith('{"query"')), None
+        )
+        if line is None:
+            print(f"# fresh {name}: FAILED\n{out.stderr[-800:]}", file=sys.stderr)
+            continue
+        r = json.loads(line)
+        base = baselines.get(name)
+        r["suite"] = suite_medians.get(name)
+        r["baseline_r1"] = base
+        r["vs_baseline"] = round(r["fresh"] / base, 2) if base else None
+        rows.append(r)
+        print(
+            f"# fresh {name}: {r['fresh']}s (suite {r['suite']}, r1 base "
+            f"{base}, vs-baseline {r['vs_baseline']}x)",
+            file=sys.stderr,
+        )
+    md = [
+        "",
+        "## Fresh-JVM isolation (one subprocess per query)",
+        "",
+        "Each query in its OWN JVM (`python bench.py --fresh`): no shared",
+        "codegen cache, heap, or broadcast state from the other 88 plans.",
+        "The r1 baseline was recorded in a 36-plan session; the in-suite",
+        "median under 89 plans measures session pressure, so THIS column is",
+        "the vs-baseline gate number for the watchlist.",
+        "",
+        "| query | fresh-JVM median s | IQR | in-suite s | r1 baseline s | fresh/baseline |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        md.append(
+            f"| {r['query']} | {r['fresh']} | {r['iqr']} | {r['suite']} | "
+            f"{r['baseline_r1']} | {r['vs_baseline']} |"
+        )
+    md.append("")
+    pressure_path = os.path.join(here, "BENCH_PRESSURE.md")
+    try:
+        with open(pressure_path) as f:
+            existing = f.read()
+    except FileNotFoundError:
+        existing = ""
+    # Idempotent: replace any previous fresh-JVM section instead of stacking.
+    marker = "\n## Fresh-JVM isolation"
+    if marker in existing:
+        existing = existing[: existing.index(marker)].rstrip() + "\n"
+    with open(pressure_path, "w") as f:
+        f.write(existing + "\n".join(md))
+    print(json.dumps({"metric": "fresh_jvm", "rows": rows}))
+    return 0
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
     from instructionspipe_spark import get_spark
@@ -900,4 +1030,8 @@ if __name__ == "__main__":
         raise SystemExit(bench_kernel())
     if "--streaming" in sys.argv[1:]:
         raise SystemExit(bench_streaming())
+    if "--fresh-one" in sys.argv[1:]:
+        raise SystemExit(bench_fresh_one(sys.argv[sys.argv.index("--fresh-one") + 1]))
+    if "--fresh" in sys.argv[1:]:
+        raise SystemExit(bench_fresh())
     raise SystemExit(main())
