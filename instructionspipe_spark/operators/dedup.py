@@ -953,17 +953,31 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
         F.array_distinct(char_ngrams(F.col(text_col), n=ngram)).alias("__sh"),
-    )
+    ).withColumn("__n", F.size("__sh"))
+    # The pair stage is O(block^2) BY DESIGN (jaccard_pairs_lsh is the
+    # linear scale path); what matters is the constant and the spread.
+    # |union| = |A| + |B| - |intersection| over distinct arrays, so one
+    # array_intersect replaces intersect+union (the union built a second
+    # hash set per candidate pair — measured ~2x on the sf0.1 en block).
+    # The min_jaccard filter deliberately stays a post-join Filter Catalyst
+    # pushes into the join condition; the division semantics (double
+    # compare, not a cleared-denominator integer form) must match the
+    # oracle's exactly.
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
     if block_col:
         cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.col("a.__n") + F.col("b.__n") - inter
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    )
     return (
         a.join(b, cond)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            jaccard(F.col("a.__sh"), F.col("b.__sh")).alias("jaccard"),
+            jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
     )
