@@ -145,10 +145,24 @@ def repetition_stats(
         *keep_cols,
         F.col("n_words").cast("bigint").alias("n_words"),
         F.col("n_distinct_words").cast("bigint").alias("n_distinct_words"),
-        F.when(F.col("n_words") > 0, F.round(F.col("__top") / n_words, 6))
+        # k/n word ratios are exact decimal rationals that land on round
+        # boundaries where the engines' double-ROUNDs disagree — quantize
+        # through decimal first (mirrored in the oracle SQL).
+        F.when(
+            F.col("n_words") > 0,
+            F.round((F.col("__top") / n_words).cast("decimal(25,10)"), 6).cast(
+                "double"
+            ),
+        )
         .otherwise(F.lit(0.0))
         .alias("top_word_fraction"),
-        F.when(F.col("n_words") > 0, F.round(1.0 - F.col("n_distinct_words") / n_words, 6))
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                (1.0 - F.col("n_distinct_words") / n_words).cast("decimal(25,10)"),
+                6,
+            ).cast("double"),
+        )
         .otherwise(F.lit(0.0))
         .alias("dup_word_fraction"),
     )
@@ -573,7 +587,18 @@ def quality_classifier_score(
         scored = base.select(
             id_col,
             n.alias("n_tokens"),
-            F.when(n > 0, F.round(logit, round_digits)).alias("logit"),
+            # logit is an exact decimal rational (integer / 1000n), so it
+            # lands EXACTLY on .xxxxxx5 round boundaries where Spark's
+            # shortest-repr HALF_UP and DuckDB's binary round disagree
+            # (seen at sf0.1: -0.1296375 -> -0.129638 vs -0.129637).
+            # Quantize through decimal so both engines round the same
+            # exact value half-away-from-zero.
+            F.when(
+                n > 0,
+                F.round(logit.cast("decimal(25,10)"), round_digits).cast(
+                    "double"
+                ),
+            ).alias("logit"),
         )
     else:
         w = weights.select(
@@ -586,7 +611,14 @@ def quality_classifier_score(
             .groupBy(id_col)
             .agg(
                 F.first("__n").alias("n_tokens"),
-                F.round(F.avg(F.coalesce(F.col("__w"), F.lit(0.0))), round_digits).alias("logit"),
+                F.round(
+                    F.avg(F.coalesce(F.col("__w"), F.lit(0.0))).cast(
+                        "decimal(25,10)"
+                    ),
+                    round_digits,
+                )
+                .cast("double")
+                .alias("logit"),
             )
         )
         # zero-token docs never explode — restore them with NULL logit

@@ -457,7 +457,8 @@ def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY lang, source)
     SELECT lang, source, cnt,
-           ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (), 6) AS frac
+           CAST(ROUND(CAST(CAST(cnt AS DOUBLE) / SUM(cnt) OVER ()
+                           AS DECIMAL(25,10)), 6) AS DOUBLE) AS frac
     FROM c
     """,
 )
@@ -475,7 +476,11 @@ def distribution_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "cnt",
-        F.round(F.col("cnt").cast("double") / total, 6).alias("frac"),
+        F.round(
+            (F.col("cnt").cast("double") / total).cast("decimal(25,10)"), 6
+        )
+        .cast("double")
+        .alias("frac"),
     )
 
 
@@ -2069,11 +2074,14 @@ scored AS (
 ),
 per_instruction AS (
     SELECT name,
-           ROUND(CAST(SUM(CAST(factuality AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 2) AS avg_factuality,
+           CAST(ROUND(CAST(CAST(SUM(CAST(factuality AS DECIMAL(20,6))) AS DOUBLE)
+                           / COUNT(1) AS DECIMAL(25,10)), 2) AS DOUBLE) AS avg_factuality,
            MIN(factuality) AS min_factuality,
            MAX(factuality) AS max_factuality,
-           ROUND(CAST(SUM(CAST(high_factuality AS DECIMAL(20,6))) AS DOUBLE) / COUNT(1), 2) AS high_factuality_rate,
-           ROUND(CAST(SUM(eligibility) AS DOUBLE) / COUNT(1), 2) AS avg_eligibility,
+           CAST(ROUND(CAST(CAST(SUM(CAST(high_factuality AS DECIMAL(20,6))) AS DOUBLE)
+                           / COUNT(1) AS DECIMAL(25,10)), 2) AS DOUBLE) AS high_factuality_rate,
+           CAST(ROUND(CAST(CAST(SUM(eligibility) AS DOUBLE)
+                           / COUNT(1) AS DECIMAL(25,10)), 2) AS DOUBLE) AS avg_eligibility,
            COUNT(1) AS n
     FROM scored
     GROUP BY name
@@ -2105,9 +2113,11 @@ def judge_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base
     )
     SELECT COUNT(1) AS n_docs,
-           ROUND(AVG(n_tokens), 4) AS avg_in_tokens,
-           ROUND(COUNT(1) * AVG(n_tokens) / 1000000.0 * 0.15
-                 + COUNT(1) * (0.7 * AVG(n_tokens)) / 1000000.0 * 0.60, 6) AS est_cost_usd
+           CAST(ROUND(CAST(AVG(n_tokens) AS DECIMAL(25,10)), 4) AS DOUBLE)
+               AS avg_in_tokens,
+           CAST(ROUND(CAST(COUNT(1) * AVG(n_tokens) / 1000000.0 * 0.15
+                 + COUNT(1) * (0.7 * AVG(n_tokens)) / 1000000.0 * 0.60
+                 AS DECIMAL(25,10)), 6) AS DOUBLE) AS est_cost_usd
     FROM toks
     """,
 )
@@ -2118,12 +2128,21 @@ def cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = documents.select(ops.token_count(F.col("text")).alias("n_tokens"))
     return toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_in_tokens"),
+        # Integer-mean and terminating-decimal cost ratios land exactly on
+        # round boundaries (the quality_classifier sf0.1 escape class) —
+        # quantize through decimal before ROUND on both sides.
+        F.round(F.avg("n_tokens").cast("decimal(25,10)"), 4)
+        .cast("double")
+        .alias("avg_in_tokens"),
         F.round(
-            F.count(F.lit(1)) * F.avg("n_tokens") / F.lit(1000000.0) * F.lit(0.15)
-            + F.count(F.lit(1)) * (F.lit(0.7) * F.avg("n_tokens")) / F.lit(1000000.0) * F.lit(0.60),
+            (
+                F.count(F.lit(1)) * F.avg("n_tokens") / F.lit(1000000.0) * F.lit(0.15)
+                + F.count(F.lit(1)) * (F.lit(0.7) * F.avg("n_tokens")) / F.lit(1000000.0) * F.lit(0.60)
+            ).cast("decimal(25,10)"),
             6,
-        ).alias("est_cost_usd"),
+        )
+        .cast("double")
+        .alias("est_cost_usd"),
     )
 
 
@@ -4072,9 +4091,13 @@ _LOWER_TOKENS_SQL = r"""list_filter(string_split_regex(lower(regexp_replace(text
            COALESCE(a.n_words, 0) AS n_words,
            COALESCE(a.n_distinct_words, 0) AS n_distinct_words,
            CASE WHEN COALESCE(a.n_words, 0) > 0
-                THEN ROUND(a.top / CAST(a.n_words AS DOUBLE), 6) ELSE 0.0 END AS top_word_fraction,
+                THEN CAST(ROUND(CAST(a.top / CAST(a.n_words AS DOUBLE)
+                                     AS DECIMAL(25,10)), 6) AS DOUBLE)
+                ELSE 0.0 END AS top_word_fraction,
            CASE WHEN COALESCE(a.n_words, 0) > 0
-                THEN ROUND(1.0 - a.n_distinct_words / CAST(a.n_words AS DOUBLE), 6) ELSE 0.0 END AS dup_word_fraction
+                THEN CAST(ROUND(CAST(1.0 - a.n_distinct_words / CAST(a.n_words AS DOUBLE)
+                                     AS DECIMAL(25,10)), 6) AS DOUBLE)
+                ELSE 0.0 END AS dup_word_fraction
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
@@ -4810,9 +4833,10 @@ _QC_K = (
     scored AS (
         SELECT doc_id, len(__toks) AS n_tokens,
                CASE WHEN len(__toks) > 0 THEN
-                 ROUND(CAST(list_sum(list_transform(__toks, t -> {_QC_K}))
-                            - 1000 * len(__toks) AS DOUBLE)
-                       / (1000.0 * len(__toks)), 6)
+                 CAST(ROUND(CAST(
+                   CAST(list_sum(list_transform(__toks, t -> {_QC_K}))
+                        - 1000 * len(__toks) AS DOUBLE)
+                   / (1000.0 * len(__toks)) AS DECIMAL(25,10)), 6) AS DOUBLE)
                END AS logit
         FROM toks
     )
@@ -7260,7 +7284,8 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT from_type, SUM(n_transitions) AS t FROM c GROUP BY from_type)
     SELECT c.from_type, c.to_type, c.n_transitions,
-           CAST(ROUND(c.n_transitions / tot.t, 6) AS DOUBLE) AS probability
+           CAST(ROUND(CAST(c.n_transitions / tot.t AS DECIMAL(25,10)), 6)
+                AS DOUBLE) AS probability
     FROM c JOIN tot ON tot.from_type = c.from_type
     """,
 )
@@ -7295,7 +7320,10 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from_type",
             "to_type",
             "n_transitions",
-            F.round(F.col("n_transitions") / F.col("__t"), 6)
+            F.round(
+                (F.col("n_transitions") / F.col("__t")).cast("decimal(25,10)"),
+                6,
+            )
             .cast("double")
             .alias("probability"),
         )
@@ -7329,13 +7357,13 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 LEFT JOIN s3 ON s3.user_id = s1.user_id
     )
     SELECT 'view_to_click' AS stage, COUNT(g12) AS n_converters,
-           CAST(ROUND(quantile_cont(g12, 0.5) / 1000000.0, 4) AS DOUBLE) AS p50_s,
-           CAST(ROUND(quantile_cont(g12, 0.9) / 1000000.0, 4) AS DOUBLE) AS p90_s
+           CAST(ROUND(CAST(quantile_cont(g12, 0.5) / 1000000.0 AS DECIMAL(25,10)), 4) AS DOUBLE) AS p50_s,
+           CAST(ROUND(CAST(quantile_cont(g12, 0.9) / 1000000.0 AS DECIMAL(25,10)), 4) AS DOUBLE) AS p90_s
     FROM gaps
     UNION ALL
     SELECT 'click_to_purchase', COUNT(g23),
-           CAST(ROUND(quantile_cont(g23, 0.5) / 1000000.0, 4) AS DOUBLE),
-           CAST(ROUND(quantile_cont(g23, 0.9) / 1000000.0, 4) AS DOUBLE)
+           CAST(ROUND(CAST(quantile_cont(g23, 0.5) / 1000000.0 AS DECIMAL(25,10)), 4) AS DOUBLE),
+           CAST(ROUND(CAST(quantile_cont(g23, 0.9) / 1000000.0 AS DECIMAL(25,10)), 4) AS DOUBLE)
     FROM gaps
     """,
 )
@@ -7363,10 +7391,20 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stage_row(name: str, g: str) -> DataFrame:
         return gaps.agg(
             F.count(F.col(g)).alias("n_converters"),
-            F.round(F.expr(f"percentile({g}, 0.5)") / F.lit(1000000.0), 4)
+            F.round(
+                (F.expr(f"percentile({g}, 0.5)") / F.lit(1000000.0)).cast(
+                    "decimal(25,10)"
+                ),
+                4,
+            )
             .cast("double")
             .alias("p50_s"),
-            F.round(F.expr(f"percentile({g}, 0.9)") / F.lit(1000000.0), 4)
+            F.round(
+                (F.expr(f"percentile({g}, 0.9)") / F.lit(1000000.0)).cast(
+                    "decimal(25,10)"
+                ),
+                4,
+            )
             .cast("double")
             .alias("p90_s"),
         ).select(F.lit(name).alias("stage"), "n_converters", "p50_s", "p90_s")

@@ -127,9 +127,13 @@ def lint_spark_source(name: str, src: str) -> list[str]:
         arg = _balanced_arg(flat, open_paren)
         if ".cast(" in arg and "decimal" in arg:
             continue
-        # Window-frame aggregates (.over(...)) evaluate sequentially.
-        tail = flat[open_paren + len(arg) + 2 : open_paren + len(arg) + 12]
-        if ".over(" in tail:
+        # Window-frame aggregates (.over(...)) evaluate sequentially; a
+        # decimal cast of the aggregate RESULT (quantize-before-round)
+        # also neutralizes the cross-engine ROUND divergence.
+        tail = flat[open_paren + len(arg) + 2 : open_paren + len(arg) + 40]
+        if ".over(" in tail[:10] or re.match(
+            r"\s*\.cast\(\s*f?[\"']decimal", tail
+        ):
             continue
         # Plain integer-column aggregates are exact; match known int columns.
         if re.fullmatch(r"\s*[\"']\w+[\"']\s*", arg) and re.search(
@@ -165,12 +169,23 @@ def main() -> int:
     warns: list[str] = []
     for name, sql in ORACLES.items():
         hard.extend(lint_oracle_sql(name, sql))
+    # Registry functions mostly CALL operators — the r9 quality_classifier
+    # escape lived in operators/textstats.py, invisible to a registry-only
+    # scan. Lint every package source file for the Spark-side patterns too.
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                       "instructionspipe_spark")
+    for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        rel = os.path.relpath(path, os.path.join(pkg, ".."))
+        with open(path) as f:
+            hard.extend(lint_spark_source(rel, f.read()))
     for name, fn in QUERIES.items():
         try:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             continue
-        hard.extend(lint_spark_source(name, src))
         if name in ORACLES:
             od = round_digit_multiset(ORACLES[name], spark=False)
             sd = round_digit_multiset(src, spark=True)
