@@ -382,3 +382,57 @@ def test_cdc_apply_matches_sequential_replay(spark, data):
     compact = latest_change_per_key(ch_df, "k", "seq").drop("seq")
     got = {r["k"]: r["v"] for r in apply_changes(snap_df, compact, "k").collect()}
     assert got == state
+
+
+@settings(
+    deadline=None, max_examples=30, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10_000_000, max_value=10_000_000),
+            st.integers(min_value=1, max_value=4_000_000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_decimal_quantized_round_matches_duckdb(spark, ratios, digits):
+    """The r8/r9 escape class, pinned as a property: for exact decimal
+    rationals k/n (the judge-ratio / classifier-logit / transition-
+    probability shape, including values landing EXACTLY on .xx5 round
+    boundaries), Spark's round-through-DECIMAL(25,10) must equal DuckDB's
+    bit-for-bit. A plain double ROUND fails this property (Spark rounds
+    the shortest decimal repr HALF_UP, DuckDB rounds the binary value) —
+    the discipline every registry ratio now uses must keep both engines
+    agreeing."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(ratios, "k LONG, n LONG")
+    got = {
+        (r["k"], r["n"]): r["r"]
+        for r in df.select(
+            "k",
+            "n",
+            F.round(
+                (F.col("k").cast("double") / F.col("n")).cast("decimal(25,10)"),
+                digits,
+            )
+            .cast("double")
+            .alias("r"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", ratios)
+    want = {
+        (k, n): r
+        for k, n, r in con.execute(
+            "SELECT k, n, CAST(ROUND(CAST(CAST(k AS DOUBLE) / n AS DECIMAL(25,10)), "
+            f"{digits}) AS DOUBLE) FROM t"
+        ).fetchall()
+    }
+    assert got == want
