@@ -353,6 +353,43 @@ def test_dynamic_partition_pruning_row_plans_a_runtime_filter(spark):
     assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan
 
 
+def test_runtime_bloom_filter_injects_on_selective_dim(spark):
+    """The row-level complement of DPP for the 100 TB shape: when a big
+    fact SMJ-joins a dim carrying a selective predicate, InjectRuntimeFilter
+    must plant a bloom_filter_agg over the dim's join key and gate the fact
+    side with BloomFilterMightContain — fact rows that cannot match die at
+    the scan side of the shuffle instead of crossing the wire. Broadcast is
+    disabled in-test because a broadcast join already gets this benefit;
+    the application-side threshold is lowered because the default (10 GB
+    scan) is sized for the real tier, not test parquet."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.catalog import load_tables
+
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, SF)
+        j = t["lineitem"].join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert "might_contain" in opt.lower(), opt[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ivfsq_shortlist_is_integer_exact(spark):
     """ivfsq_topk_deterministic's candidate metric must be pure integer
     code distance: recomputing d2 from the encoded arrays in Python equals
