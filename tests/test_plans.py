@@ -390,6 +390,46 @@ def test_runtime_bloom_filter_injects_on_selective_dim(spark):
                 spark.conf.set(k, v)
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The whale-key story's runtime half (SKEW.md documents the salting
+    half): a sort-merge join whose shuffle leaves one hot-key partition
+    must come back from AQE with that partition SPLIT (AQEShuffleRead
+    "skewed"), so one straggler task becomes advisory-sized slices. The
+    pad column is sha2 — an earlier probe with a constant pad compressed
+    ~100x in the shuffle and stayed under every skew threshold, which is
+    itself the lesson: skew detection reads COMPRESSED shuffle bytes, so
+    low-entropy hot keys need a lower threshold in production too."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    from pyspark.sql import functions as F
+
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300000).select(
+            (F.when(F.col("id") % 3 == 0, 7).otherwise(F.col("id")) % 1000).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), F.rand(2).alias("y"))
+        j = left.join(right, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        reads = [l for l in plan.splitlines() if "AQEShuffleRead" in l]
+        assert any("skewed" in l for l in reads), reads
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ivfsq_shortlist_is_integer_exact(spark):
     """ivfsq_topk_deterministic's candidate metric must be pure integer
     code distance: recomputing d2 from the encoded arrays in Python equals
