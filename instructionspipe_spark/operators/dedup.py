@@ -413,9 +413,12 @@ def _sig_band_pairs(
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
-    """Jaccard similarity of two distinct-shingle arrays."""
+    """Jaccard similarity of two distinct-shingle arrays. Inclusion-
+    exclusion (|union| = |A| + |B| - |intersection|) rather than a second
+    array_union hash set per pair — same trick as the Arrow kernel and
+    ngram_jaccard_pairs; ~2x on verification-bound dedups."""
     inter = F.size(F.array_intersect(shingles_a, shingles_b))
-    union = F.size(F.array_union(shingles_a, shingles_b))
+    union = F.size(shingles_a) + F.size(shingles_b) - inter
     return F.when(union > 0, inter.cast("double") / union.cast("double"))
 
 
