@@ -454,8 +454,20 @@ def bench_pressure() -> int:
             f"| {r['query']} | {r['suite']} | {r['solo']} | {r['solo_iqr']} | {r['ratio']} |"
         )
     md.append("")
-    with open(os.path.join(here, "BENCH_PRESSURE.md"), "w") as f:
-        f.write("\n".join(md))
+    pressure_path = os.path.join(here, "BENCH_PRESSURE.md")
+    # Preserve the fresh-JVM section (written by --fresh) across pressure
+    # rewrites — a full --pressure regen clobbered it once in r9.
+    tail = ""
+    try:
+        with open(pressure_path) as f:
+            existing = f.read()
+        marker = "\n## Fresh-JVM isolation"
+        if marker in existing:
+            tail = existing[existing.index(marker):]
+    except FileNotFoundError:
+        pass
+    with open(pressure_path, "w") as f:
+        f.write("\n".join(md) + tail)
     print(json.dumps({"metric": "pressure_ab", "sf": suite.get("sf"), "rows": rows}))
     return 0
 
