@@ -776,6 +776,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     engine: str = "arrow",
     corpus_store: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: admit a NEW batch against an accumulated
     corpus. One row per batch record — ``(batch_id, dup_of, jaccard,
@@ -825,6 +826,27 @@ def incremental_minhash_dedup(
     bb = _banded_frame(batch_sig, bands, rows_per_band).select(
         F.col("__id").alias("__batch_id"), "__band_idx", "__band_hash"
     )
+    if bucket_cap is not None:
+        # Template-noise guard (OPT-IN, default off): a banding bucket with
+        # thousands of members is boilerplate mass, not near-dup signal —
+        # measured on the sf10 synthetic tier, hot buckets (top ~2.4% of
+        # the corpus EACH) drove 185M candidate pairs of which 99.99%
+        # failed exact verification, turning candidate volume quadratic in
+        # corpus size. Excluding over-cap buckets bounds per-bucket pair
+        # fan-out at cap * batch_bucket_size. Recall cost: a true near-dup
+        # pair is missed only if EVERY band it collides on is over-cap —
+        # i.e. both docs are template-saturated, the regime SCALE.md says
+        # to template-strip first. The cap is a candidate-generation knob;
+        # verification semantics are unchanged.
+        bucket_sizes = corpus_store.groupBy("__band_idx", "__band_hash").agg(
+            F.count(F.lit(1)).alias("__bc")
+        )
+        corpus_store = corpus_store.join(
+            bucket_sizes.filter(F.col("__bc") <= bucket_cap).select(
+                "__band_idx", "__band_hash"
+            ),
+            ["__band_idx", "__band_hash"],
+        )
     pairs = (
         corpus_store.join(broadcast_if_small(bb), ["__band_idx", "__band_hash"])
         .select(F.col("__batch_id").alias("batch_id"), F.col("__id").alias("corpus_id"))

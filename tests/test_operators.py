@@ -1530,6 +1530,38 @@ def test_cdc_apply_changes_semantics(spark):
     assert got == {1: "a2", 3: "c", 4: "d", 7: "new"}
 
 
+def test_incremental_dedup_bucket_cap(spark):
+    """bucket_cap excludes template-noise buckets from CANDIDATE generation
+    only: flagged(capped) must be a subset of flagged(uncapped), a true
+    near-dup whose bands are NOT in an over-cap bucket is still found, and
+    template rows whose only collisions are over-cap come back kept=true."""
+    from instructionspipe_spark.operators.dedup import incremental_minhash_dedup
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(40)]  # hot bucket: 40 identical docs
+    rows += [(100, "completely unrelated unique text about spark catalyst engines")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (200, template),  # collides only with the hot bucket
+            (201, "completely unrelated unique text about spark catalyst engine"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def flagged(cap):
+        out = incremental_minhash_dedup(
+            corpus, batch, "doc_id", "text", threshold=0.5, bucket_cap=cap
+        )
+        return {r["doc_id"]: r["dup_of"] for r in out.collect() if not r["kept"]}
+
+    full, capped = flagged(None), flagged(10)
+    assert set(capped) <= set(full)
+    assert 200 in full and 201 in full  # uncapped finds both
+    assert 201 in capped  # the small-bucket near-dup survives the cap
+    assert 200 not in capped  # template row's only collisions were capped
+
+
 def test_validation_guards(spark):
     """Invalid-argument guards raise ValueError (not stripped-under-O
     asserts), and a malformed CDC op fails loudly instead of silently
