@@ -78,7 +78,16 @@ _GATE_FIRST = (
 
 
 def _rotated(mapping: dict) -> dict:
-    head = [n for n in _GATE_FIRST if n in mapping]
+    # A typo or a renamed query in _GATE_FIRST would otherwise silently
+    # shift the 50-row gate window — a query the comment claims is gated
+    # would go ungated with no signal. Fail loudly instead.
+    missing = [n for n in _GATE_FIRST if n not in mapping]
+    if missing:
+        raise ValueError(
+            f"_GATE_FIRST names not in the registry (typo or renamed query "
+            f"— fix the rotation list): {missing}"
+        )
+    head = list(_GATE_FIRST)
     return {n: mapping[n] for n in head} | {
         n: v for n, v in mapping.items() if n not in set(head)
     }

@@ -539,8 +539,10 @@ def bench_fresh() -> int:
     baselines = _r1_baselines()
     try:
         with open(os.path.join(here, "BENCH_SUMMARY.json")) as f:
-            suite_medians = json.load(f)["queries"]
-    except FileNotFoundError:
+            # .get, not [..]: an older/partial summary without 'queries'
+            # must not abort the sweep after the subprocess work.
+            suite_medians = json.load(f).get("queries", {})
+    except (FileNotFoundError, json.JSONDecodeError):
         suite_medians = {}
     rows = []
     for name in names:

@@ -56,12 +56,33 @@ def apply_changes(
     changes: DataFrame,
     key: str,
     op_col: str = "op",
+    strict: bool = False,
 ) -> DataFrame:
     """Apply a compacted change batch to a snapshot: MERGE INTO semantics
     as one full-outer equi-join. Matched + 'U' takes the change's columns;
     matched + 'D' drops the row; unmatched change with 'U' inserts;
     unmatched snapshot rows pass through. Change rows must carry exactly
-    the snapshot's columns plus ``op_col``."""
+    the snapshot's columns plus ``op_col``.
+
+    Malformed ops (outside {'U','D'}, including NULL) raise via an in-plan
+    ``raise_error`` on the op projection — but that guard only fires if the
+    row is actually EVALUATED, so a downstream plan that prunes the change
+    side (e.g. a bare ``.count()`` on the result) can complete without
+    raising. Pass ``strict=True`` to additionally run an eager
+    ``changes.filter(~op.isin('U','D')).isEmpty()`` check up front — one
+    cheap action against the change feed (which is small relative to the
+    snapshot by construction) that guarantees malformed-change detection
+    regardless of downstream plan shape."""
+    if strict:
+        bad = changes.filter(
+            ~F.col(op_col).isin("U", "D") | F.col(op_col).isNull()
+        )
+        if not bad.isEmpty():
+            sample = [r[op_col] for r in bad.select(op_col).limit(3).collect()]
+            raise ValueError(
+                f"apply_changes(strict=True): change feed contains ops "
+                f"outside {{'U','D'}} (sample: {sample})"
+            )
     data_cols = [c for c in snapshot.columns if c != key]
     ch = changes.select(
         F.col(key).alias("__ck"),

@@ -413,12 +413,19 @@ def _sig_band_pairs(
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
-    """Jaccard similarity of two distinct-shingle arrays. Inclusion-
-    exclusion (|union| = |A| + |B| - |intersection|) rather than a second
-    array_union hash set per pair — same trick as the Arrow kernel and
-    ngram_jaccard_pairs; ~2x on verification-bound dedups."""
-    inter = F.size(F.array_intersect(shingles_a, shingles_b))
-    union = F.size(shingles_a) + F.size(shingles_b) - inter
+    """Jaccard similarity of two shingle arrays (duplicates tolerated).
+
+    Inclusion-exclusion (|union| = |A| + |B| - |intersection|) rather than a
+    second array_union hash set per pair — same trick as the Arrow kernel and
+    ngram_jaccard_pairs; ~2x on verification-bound dedups. The identity only
+    holds for SETS, so both inputs are passed through ``array_distinct``
+    here; callers that already hold distinct arrays pay one no-op dedup pass
+    (array_distinct over a distinct array is O(len)), callers that don't get
+    correct similarities instead of silently inflated sizes."""
+    a = F.array_distinct(shingles_a)
+    b = F.array_distinct(shingles_b)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter.cast("double") / union.cast("double"))
 
 
@@ -464,13 +471,15 @@ def minhash_lsh_dedup(
             nrm_b = df.select(F.col(id_col).alias("id_b"), shingle_normalize(F.col(text_col)).alias("__nb"))
             verify = _jaccard_kernel(ngram)(F.col("__na"), F.col("__nb")) >= F.lit(threshold)
         else:
+            # jaccard() distincts internally; passing raw char_ngrams keeps
+            # exactly one array_distinct pass per side, not two.
             nrm_a = df.select(
                 F.col(id_col).alias("id_a"),
-                F.array_distinct(char_ngrams(F.col(text_col), n=ngram)).alias("__na"),
+                char_ngrams(F.col(text_col), n=ngram).alias("__na"),
             )
             nrm_b = df.select(
                 F.col(id_col).alias("id_b"),
-                F.array_distinct(char_ngrams(F.col(text_col), n=ngram)).alias("__nb"),
+                char_ngrams(F.col(text_col), n=ngram).alias("__nb"),
             )
             verify = jaccard(F.col("__na"), F.col("__nb")) >= F.lit(threshold)
         pairs = pairs.join(nrm_a, "id_a").join(nrm_b, "id_b").filter(verify).select("id_a", "id_b")

@@ -4499,7 +4499,12 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incremental_dedup_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _incremental_dedup_oracle(
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+) -> str:
     rows_per_band = num_perm // bands
     band_exprs = ", ".join(
         f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
@@ -4509,17 +4514,34 @@ def _incremental_dedup_oracle(num_perm: int = 16, bands: int = 4, threshold: flo
         "CAST(len(list_intersect(sb.__shingles, sc.__shingles)) AS DOUBLE)"
         " / len(list_distinct(list_concat(sb.__shingles, sc.__shingles)))"
     )
+    if bucket_cap is None:
+        cap_cte, cap_join, cap_pred = "", "", ""
+    else:
+        # Replays incremental_minhash_dedup's bucket_cap exactly: the cap
+        # is measured over CORPUS-side band-store rows only, and over-cap
+        # buckets generate no candidates.
+        cap_cte = """
+    corpus_bucket AS (
+        SELECT band_idx, band_hash, count(*) AS bc
+        FROM banded WHERE doc_id % 10 != 7
+        GROUP BY band_idx, band_hash
+    ),"""
+        cap_join = (
+            "\n        JOIN corpus_bucket z"
+            " ON z.band_idx = c.band_idx AND z.band_hash = c.band_hash"
+        )
+        cap_pred = f" AND z.bc <= {bucket_cap}"
     return (
         "WITH" + _minhash_base_cte(num_perm) + f""",
     banded AS (
         SELECT doc_id, u.b AS band_idx, u.h AS band_hash
         FROM sig, UNNEST([{band_exprs}]) AS t(u)
-    ),
+    ),{cap_cte}
     pairs AS (
         SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-        FROM banded c
+        FROM banded c{cap_join}
         JOIN banded b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
-        WHERE c.doc_id % 10 != 7 AND b.doc_id % 10 = 7
+        WHERE c.doc_id % 10 != 7 AND b.doc_id % 10 = 7{cap_pred}
     ),
     verified AS (
         SELECT p.batch_id, p.corpus_id, ROUND({jac}, 6) AS jaccard
@@ -4553,6 +4575,34 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = documents.filter(F.col("doc_id") % 10 != 7)
     batch = documents.filter(F.col("doc_id") % 10 == 7)
     return ops.incremental_minhash_dedup(corpus, batch, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "incremental_batch_dedup_capped",
+    oracle=_incremental_dedup_oracle(bucket_cap=64),
+)
+def incremental_batch_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission with the hot-bucket cap engaged — the
+    scale-safe production shape of N24 (operators/dedup.py:
+    incremental_minhash_dedup with bucket_cap). A banding bucket holding
+    more than ``cap`` corpus rows is boilerplate mass, not near-dup signal
+    (measured: at sf10 the hot buckets drove 185M candidate pairs, 99.99%
+    failing verification); excluding them bounds candidate volume at
+    cap x |batch banded rows| — LINEAR in corpus size, which is why the cap
+    must be a CONSTANT (a bound on the largest believable organic near-dup
+    cluster), not a data-derived quantile that can grow with n. cap=64 here:
+    above the measured p99 organic bucket (34-41 at the small SFs) and below
+    every SF's template-bucket max (128/154/1303), so this gate row
+    exercises semantics the uncapped twin row cannot. The oracle replays
+    the cap exactly (corpus-side bucket census, over-cap buckets emit no
+    candidates), so this is a full value-level differential, not a
+    subset-law check. Cap-selection rule: SCALE.md."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    corpus = documents.filter(F.col("doc_id") % 10 != 7)
+    batch = documents.filter(F.col("doc_id") % 10 == 7)
+    return ops.incremental_minhash_dedup(
+        corpus, batch, "doc_id", "text", threshold=0.5, bucket_cap=64
+    )
 
 
 def _pq_topk_oracle(m: int = 4, n_codes: int = 8, k: int = 5, rerank: int = 50) -> str:
