@@ -27,53 +27,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Gate rotation: the driver's correctness harness samples the FIRST 50
-# entries of queries(). Round-9 priority order (VERDICT_r8 "Next round" #3):
-# 1. The SEVEN rows never driver-gated (all late-r8 additions).
-# 2. The FOUR rows whose code or oracle changed in r9 and whose newest
-#    gate record predates the change (q12's BIGINT oracle cast — the one
-#    red r8 row; bm25's decimal score sum; the ivfadc/pq trained-contract
-#    retunes m=8/rerank=400).
-# 3. THIRTY-NINE of the 50 rows whose newest gate record is r6 (the
-#    stalest cohort; the r1-r8 CORRECTNESS union was parsed mechanically
-#    to derive it).
-# Structural note: with 157 registry queries and a 50-row window, full
-# coverage takes ceil(157/50) = 4 rounds, so a ≤7-row tail at 3 rounds
-# stale is unavoidable; the 11 r6 rows spilled past the window below are
-# the trivial relational ops benched every round, and ALL 157 rows are
-# re-verified this round in the builder's own 3-SF ORACLE_FULL_r9 record
-# (sf0.001 / sf0.01 / sf0.1).
+# entries of queries(). Round-10 priority order (VERDICT_r9 "Next round" #1,
+# derived mechanically from the CORRECTNESS_r01-r09 union — see
+# tools/gate_fingerprints.py for the companion changed-since-last-gate
+# enforcement):
+# 1. The ONE row never driver-gated (new in r10:
+#    incremental_batch_dedup_capped, the scale-safe N24 shape).
+# 2. The ELEVEN rows whose newest gate record is r6 (the spill the r9
+#    head documented).
+# 3. The THREE rows whose oracle text was edited by the r9 decimal sweep
+#    AFTER their newest gate record (judge_metrics, cost_estimate,
+#    repetition_stats; distribution_fractions is already in cohort 2) —
+#    the class QUERY_FINGERPRINTS.json now catches mechanically.
+# 4. THIRTY-FIVE of the remaining 46 r7-stale rows, in registry order.
+# Structural note: with 158 registry queries and a 50-row window, full
+# coverage takes ceil(158/50) = 4 rounds; the 11 r7 rows spilled past the
+# window below lead r11, and ALL rows are re-verified this round in the
+# builder's own 3-SF ORACLE_FULL_r10 record.
 _GATE_FIRST = (
-    # -- never driver-gated (late r8) ---------------------------------------
-    "zorder_multidim_scan", "streaming_cdc_equiv", "ivfsq_trained_recall",
-    "funnel_windowed", "user_value_outliers", "event_transitions",
-    "funnel_latency",
-    # -- changed in r9, regate ----------------------------------------------
-    "q12_late_priority_lines", "bm25_retrieval",
-    "ivfadc_trained_recall", "pq_trained_recall",
-    # -- r6-stale cohort (39 of 50) ------------------------------------------
-    "group_counts", "join_dims_broadcast",  # also changed in r9 (decimal sums)
-    "agentic_routed_fanout", "asof_join_purchases", "char_entropy_quality",
-    "chatml_flatten", "cluster_best_survivor", "corpus_prep_pipeline",
-    "dedup_multi_key", "doc_fingerprints", "embedding_near_dup",
-    "frequent_ngrams", "greedy_packing", "incremental_batch_dedup",
-    "jaccard_pairs_lsh", "join_semi_anti", "language_quality",
-    "lm_corpus_blocks", "lsh_bucket_stats", "minhash_lsh_dedup",
-    "minhash_signatures", "near_dup_components", "ngram_jaccard_pairs",
-    "perplexity_buckets", "q6_forecast_revenue", "quality_classifier",
-    "semantic_dedup", "sequence_packing", "simhash_exact_dedup",
-    "simhash_fingerprints", "similarity_brute_topk",
-    "similarity_ivfadc_topk", "similarity_pq_topk",
-    "streaming_band_admission", "streaming_tumbling_equiv",
-    "template_block_strip", "token_quality_stats", "weighted_corpus_sample",
-    "word_block_dedup",
-    # ======================= 50-window boundary ============================
-    # -- the 11 spilled r6 rows: trivial relational ops, benched every
-    #    round, re-verified at 3 SFs in ORACLE_FULL_r9; they lead r10 with
-    #    the r7 cohort ------------------------------------------------------
+    # -- never driver-gated (new in r10) ------------------------------------
+    "incremental_batch_dedup_capped",
+    # -- r6-stale cohort (the 11 rows spilled by the r9 head) ----------------
     "scope_projection", "low_length_filter", "set_operations",
     "window_rank_orders", "window_lag_running", "exact_dedup_first",
     "batch_assignment", "seeded_shuffle_head", "capped_group_sample",
     "grouped_split", "distribution_fractions",
+    # -- oracle text changed post-gate by the r9 decimal sweep ---------------
+    "judge_metrics", "cost_estimate", "repetition_stats",
+    # -- r7-stale cohort (35 of 46, registry order) --------------------------
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "agg_rollup", "agg_distinct", "cache_keys", "range_join_events",
+    "tumbling_window_agg", "instructions_mapreduce", "session_windows",
+    "sliding_windows", "agg_cube", "approx_distinct", "self_verification",
+    "tag_extraction", "media_features", "chatml_family_adjust",
+    "cached_completions", "judge_fanout_ensemble", "hash_split_counts",
+    "similarity_lsh_topk", "agentic_fanout", "similarity_ivf_topk",
+    "q14_promo_ratio", "q18_large_orders", "cross_corpus_near_dups",
+    "bpe_token_counts", "constrained_json_parse", "grpo_reward_advantage",
+    "similarity_lsh_multiprobe", "q4_priority_exists",
+    "q13_customer_distribution", "q19_disjunctive_revenue",
+    "q22_dormant_customers", "salted_aggregate",
+    # ======================= 50-window boundary ============================
+    # -- the 11 spilled r7 rows (7 of them the streaming twins, all
+    #    re-verified at 3 SFs in ORACLE_FULL_r10): they lead r11 -----------
+    "q7_nation_trade", "simhash_near_dedup", "similarity_multitable_topk",
+    "lm_block_manifest", "semantic_dedup_trained",
+    "streaming_sliding_equiv", "streaming_session_equiv",
+    "streaming_late_drop_equiv", "streaming_dedup_equiv",
+    "streaming_llm_cache_equiv", "streaming_stateful_counts_equiv",
 )
 
 
