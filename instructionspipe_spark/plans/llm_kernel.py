@@ -176,6 +176,49 @@ class EchoAsyncLlm(AsyncKernelLlm):
         return one
 
 
+#: HTTP statuses worth retrying: rate limit, server-side transients, and
+#: request-timeout. Hard 4xx (400/401/403/404/422) raise immediately — a
+#: malformed payload or bad key never heals by retrying, and burning the
+#: budget on it masks the real error.
+_RETRYABLE_STATUS = frozenset({408, 429, 500, 502, 503, 504})
+
+#: openai-SDK exception class names that map to the same transient set
+#: (matched by NAME so the module never imports the SDK).
+_RETRYABLE_SDK_NAMES = frozenset(
+    {"RateLimitError", "InternalServerError", "APITimeoutError", "APIConnectionError"}
+)
+
+
+def _transient(exc: BaseException) -> bool:
+    """True when a send() failure is worth a backoff-retry: HTTP 429/5xx/408,
+    connection drops, timeouts, and short reads (truncated/incomplete bodies
+    surfacing as IncompleteRead or a JSON parse error)."""
+    import http.client
+    import json as _json
+    import socket
+    import urllib.error
+
+    if isinstance(exc, urllib.error.HTTPError):
+        return exc.code in _RETRYABLE_STATUS
+    if isinstance(
+        exc,
+        (
+            urllib.error.URLError,  # conn refused/reset; wraps socket.timeout too
+            socket.timeout,
+            TimeoutError,
+            ConnectionError,
+            http.client.IncompleteRead,
+            http.client.RemoteDisconnected,
+            _json.JSONDecodeError,  # short-read: 200 with a truncated body
+        ),
+    ):
+        return True
+    status = getattr(exc, "status_code", None)
+    if status in _RETRYABLE_STATUS:
+        return True
+    return type(exc).__name__ in _RETRYABLE_SDK_NAMES
+
+
 @dataclass(frozen=True)
 class OpenAiLlm(AsyncKernelLlm):
     """Async OpenAI-compatible client kernel.
@@ -190,6 +233,29 @@ class OpenAiLlm(AsyncKernelLlm):
     still bounded by the kernel semaphore, threads drained per batch) — so
     the live path has no hard SDK dependency and is exercisable against any
     OpenAI-compatible HTTP endpoint in any environment.
+
+    Fault model (two nested retry ladders, measured under injected chaos in
+    BENCH_KERNEL.md):
+
+    - **Transport** (:func:`_transient`): 429/5xx/408, timeouts, connection
+      drops, and short reads retry up to ``transport_retries`` times with
+      exponential backoff (``backoff_base * 2**attempt`` seconds, awaited on
+      the event loop so the semaphore slot is held but the executor thread
+      is free). Deliberately NO random jitter: retries are reproducible in
+      tests, and at cluster scale the per-row start times are already
+      decorrelated by the semaphore admission order, which is what jitter
+      exists to do. Hard 4xx raise immediately.
+    - **Semantic** (the reference's ladder, ``llm_cli.py:123-135``):
+      ``finish_reason == "length"`` re-asks up to ``length_retries`` times
+      with temperature 1.0 + frequency_penalty.
+
+    An exhausted transport budget RE-RAISES the last error — the Spark task
+    fails loudly and Spark's own task-retry/job-abort policy takes over,
+    rather than a silent NULL completion poisoning the cache table. This
+    composes safely with the cache protocol: a retried row never appends
+    twice (same task, one output row), and a retried TASK never half-commits
+    (parquet's commit protocol discards uncommitted attempts) — pinned by
+    ``test_live_http.py::test_chaos_cached_llm_no_duplicate_cache_rows``.
     """
 
     model: str = "gpt-4o-mini"
@@ -201,6 +267,13 @@ class OpenAiLlm(AsyncKernelLlm):
     max_tokens: int = 4096
     max_concurrency: int = 16
     length_retries: int = 3
+    #: transport fault budget: total attempts = transport_retries + 1.
+    transport_retries: int = 4
+    #: first backoff in seconds; attempt k sleeps backoff_base * 2**k.
+    backoff_base: float = 0.25
+    #: per-request socket timeout (stdlib transport) — a stalled endpoint
+    #: surfaces as socket.timeout and enters the transport retry ladder.
+    request_timeout: float = 120.0
     #: L12 constrained decoding: an OpenAI ``response_format`` envelope, e.g.
     #: ``{"type": "json_schema", "json_schema": {...}}`` (the reference
     #: declares exactly this shape, ``self_verification_mr.py:19-34``, and
@@ -235,6 +308,7 @@ class OpenAiLlm(AsyncKernelLlm):
         import urllib.request
 
         url = (self.base_url or "https://api.openai.com/v1").rstrip("/") + "/chat/completions"
+        timeout = self.request_timeout
 
         def post(payload: dict) -> dict:
             req = urllib.request.Request(
@@ -245,7 +319,7 @@ class OpenAiLlm(AsyncKernelLlm):
                     "Authorization": f"Bearer {api_key}",
                 },
             )
-            with urllib.request.urlopen(req, timeout=120) as r:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
                 return _json.loads(r.read().decode("utf-8"))
 
         async def send(payload: dict):
@@ -265,9 +339,26 @@ class OpenAiLlm(AsyncKernelLlm):
         seed = self.seed
         max_tokens = self.max_tokens
         length_retries = self.length_retries
+        transport_retries = self.transport_retries
+        backoff_base = self.backoff_base
         response_format = (
             _json.loads(self.response_format_json) if self.response_format_json else None
         )
+
+        async def send_retrying(payload: dict):
+            import asyncio
+
+            for attempt in range(transport_retries + 1):
+                try:
+                    return await send(payload)
+                except Exception as exc:
+                    if attempt >= transport_retries or not _transient(exc):
+                        raise
+                    # Await on the LOOP: the semaphore slot stays held (no
+                    # thundering re-admission) but the executor thread is
+                    # returned, so other rows keep flowing during backoff.
+                    await asyncio.sleep(backoff_base * 2**attempt)
+            raise AssertionError("unreachable")  # pragma: no cover
 
         async def one(system: str | None, user: str) -> str | None:
             temp, freq = temperature, 0.0
@@ -290,7 +381,7 @@ class OpenAiLlm(AsyncKernelLlm):
                 }
                 if response_format:
                     payload["response_format"] = response_format
-                finish_reason, content = await send(payload)
+                finish_reason, content = await send_retrying(payload)
                 if finish_reason != "length":
                     return content
                 # reference's escalation on truncation (llm_cli.py:123-135)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import contextlib
 import hashlib
 import json
+import re
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -38,6 +39,9 @@ class _ChatServer(ThreadingHTTPServer):
         self.in_flight = 0
         self.max_in_flight = 0
         self.handler_delay = 0.0
+        #: how long a CHAOSTIMEOUT request stalls — must exceed the
+        #: client's request_timeout for the fault to fire.
+        self.chaos_stall = 2.0
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -59,6 +63,35 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if srv.handler_delay:
                 time.sleep(srv.handler_delay)
+            # Scripted chaos: a prompt "CHAOS<mode>x<k>:rest" fails with
+            # <mode> on its first <k> calls, then succeeds — deterministic
+            # fault injection per prompt, no fractions, no flakiness.
+            # Modes: 429 / 500 (status), 400 (hard, must NOT be retried),
+            # TIMEOUT (stall past the client's request_timeout),
+            # SHORT (200 with a truncated body: declared Content-Length,
+            # half the bytes — the client sees IncompleteRead).
+            m = re.match(r"CHAOS(429|500|400|TIMEOUT|SHORT)x(\d+):", prompt)
+            if m and n_call <= int(m.group(2)):
+                mode = m.group(1)
+                if mode in ("429", "500", "400"):
+                    err = json.dumps({"error": {"message": f"chaos {mode}"}}).encode()
+                    self.send_response(int(mode))
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(err)))
+                    self.end_headers()
+                    self.wfile.write(err)
+                    return
+                if mode == "TIMEOUT":
+                    time.sleep(srv.chaos_stall)
+                    # fall through to a normal (too-late) response below
+                elif mode == "SHORT":
+                    full = json.dumps({"choices": [{"finish_reason": "stop"}]}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(full)))
+                    self.end_headers()
+                    self.wfile.write(full[: len(full) // 2])
+                    return
             truncated = prompt.startswith("LENGTH:") and n_call == 1
             resp = {
                 "id": "mock",
@@ -225,3 +258,113 @@ def test_live_http_structured_response_format_on_wire(spark):
         )
         assert llm.complete_df(df, "p", "ans").count() == 1
         assert srv.requests[0]["response_format"] == env
+
+
+def test_chaos_transport_retries_heal_all_modes(spark):
+    """VERDICT r9 #6: every transient fault class — 429, 500, timeout,
+    short-read — heals inside the transport budget and the row completes
+    with the CORRECT content; the server's per-prompt call counts prove
+    each ladder ran exactly (k failures + 1 success) attempts."""
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    prompts = [
+        "CHAOS429x2:rate-limited",
+        "CHAOS500x1:server-blip",
+        "CHAOSTIMEOUTx1:stalled",
+        "CHAOSSHORTx2:truncated-body",
+        "plain sailing",
+    ]
+    with _server() as (srv, base_url):
+        srv.chaos_stall = 1.5
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(prompts)], ["id", "p"]
+        ).coalesce(1)
+        llm = OpenAiLlm(
+            model="mock-model",
+            base_url=base_url,
+            transport_retries=4,
+            backoff_base=0.01,
+            request_timeout=0.5,
+        )
+        got = {r["id"]: r["ans"] for r in llm.complete_df(df, "p", "ans").collect()}
+        assert got == {i: _answer(p) for i, p in enumerate(prompts)}
+        assert srv.prompt_calls["CHAOS429x2:rate-limited"] == 3
+        assert srv.prompt_calls["CHAOS500x1:server-blip"] == 2
+        assert srv.prompt_calls["CHAOSTIMEOUTx1:stalled"] == 2
+        assert srv.prompt_calls["CHAOSSHORTx2:truncated-body"] == 3
+        assert srv.prompt_calls["plain sailing"] == 1
+
+
+def test_chaos_exhausted_budget_fails_loudly(spark):
+    """A fault outliving the budget RE-RAISES (the Spark task fails) —
+    never a silent NULL completion that would poison the cache table."""
+    import pytest
+
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    with _server() as (srv, base_url):
+        df = spark.createDataFrame([(1, "CHAOS429x9:hopeless")], ["id", "p"]).coalesce(1)
+        llm = OpenAiLlm(
+            model="mock-model", base_url=base_url, transport_retries=1, backoff_base=0.01
+        )
+        with pytest.raises(Exception, match="429"):
+            llm.complete_df(df, "p", "ans").collect()
+        # budget respected: 1 original + 1 retry, then give up
+        assert srv.prompt_calls["CHAOS429x9:hopeless"] == 2
+
+
+def test_chaos_hard_4xx_is_not_retried(spark):
+    """A 400 (malformed payload / bad key) raises IMMEDIATELY: retrying a
+    deterministic client error burns the budget and masks the real bug."""
+    import pytest
+
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    with _server() as (srv, base_url):
+        df = spark.createDataFrame([(1, "CHAOS400x9:bad-request")], ["id", "p"]).coalesce(1)
+        llm = OpenAiLlm(
+            model="mock-model", base_url=base_url, transport_retries=4, backoff_base=0.01
+        )
+        with pytest.raises(Exception, match="400"):
+            llm.complete_df(df, "p", "ans").collect()
+        assert srv.prompt_calls["CHAOS400x9:bad-request"] == 1
+
+
+def test_chaos_cached_llm_no_duplicate_cache_rows(spark, tmp_path):
+    """The cache-table protocol under chaos: rows that needed transport
+    retries land in the cache EXACTLY ONCE (retries happen inside the
+    kernel, below the write), results are correct, and a second run is
+    served entirely from the table (zero new wire calls)."""
+    from instructionspipe_spark.plans.cache import cached_llm_call
+    from instructionspipe_spark.plans.llm_kernel import OpenAiLlm
+
+    cache_path = str(tmp_path / "chaos_cache")
+    prompts = ["CHAOS429x2:flaky-a", "CHAOS500x2:flaky-b", "steady"]
+    with _server() as (srv, base_url):
+        llm = OpenAiLlm(
+            model="mock-model", base_url=base_url, transport_retries=3, backoff_base=0.01
+        )
+        # duplicate every prompt across rows: dedup-before-call must still
+        # collapse them so each distinct prompt hits the wire one ladder.
+        df = spark.createDataFrame(
+            [(i, prompts[i % 3]) for i in range(12)], ["id", "p"]
+        ).coalesce(1)
+        out1 = cached_llm_call(df, "p", "ans", llm, cache_path=cache_path)
+        rows1 = {r["id"]: r["ans"] for r in out1.collect()}
+        assert rows1 == {i: _answer(prompts[i % 3]) for i in range(12)}
+        wire_after_first = dict(srv.prompt_calls)
+        assert wire_after_first == {
+            "CHAOS429x2:flaky-a": 3,  # 2 failures + 1 success, ONE ladder
+            "CHAOS500x2:flaky-b": 3,
+            "steady": 1,
+        }
+        # the cache table holds exactly one row per distinct prompt — no
+        # duplicate appends from the retry ladder
+        cached = spark.read.parquet(cache_path).collect()
+        assert len(cached) == 3
+        assert len({r["cache_key"] for r in cached}) == 3
+
+        out2 = cached_llm_call(df, "p", "ans", llm, cache_path=cache_path)
+        assert {r["id"]: r["ans"] for r in out2.collect()} == rows1
+        assert dict(srv.prompt_calls) == wire_after_first  # zero new calls
+        assert len(spark.read.parquet(cache_path).collect()) == 3
