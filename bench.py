@@ -588,6 +588,28 @@ def bench_fresh() -> int:
             f"{r['baseline_r1']} | {r['vs_baseline']} |"
         )
     md.append("")
+    # Promote fresh medians to the RECORDED methodology (VERDICT r9 #7):
+    # merge them into BENCH_SUMMARY.json so the next plain `python bench.py`
+    # run (and therefore the driver's BENCH_r{N}.json) carries both columns
+    # and cross-round comparisons stop re-litigating session pressure.
+    summary_path = os.path.join(here, "BENCH_SUMMARY.json")
+    try:
+        with open(summary_path) as f:
+            summary = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        summary = {}
+    summary["fresh"] = {
+        r["query"]: {
+            "median": r["fresh"],
+            "iqr": r["iqr"],
+            "baseline_r1": r["baseline_r1"],
+            "vs_baseline": r["vs_baseline"],
+        }
+        for r in rows
+    }
+    with open(summary_path, "w") as f:
+        json.dump(summary, f, indent=1)
+        f.write("\n")
     pressure_path = os.path.join(here, "BENCH_PRESSURE.md")
     try:
         with open(pressure_path) as f:
@@ -681,6 +703,15 @@ def main() -> int:
         "A cross-round delta smaller than the sum of the two rounds' IQRs is",
         "noise, not a regression. Regenerate with `python bench.py`.",
         "",
+        "Which gate reads which column (r9 BENCH_PRESSURE finding): the",
+        "in-suite medians here gate the SUITE TOTAL and cross-round",
+        "regressions; the vs-r1-baseline gate for sub-second watchlist",
+        "queries reads the fresh-JVM medians (`python bench.py --fresh`,",
+        "recorded under the `fresh` key of BENCH_SUMMARY.json and in",
+        "BENCH_PRESSURE.md) — the r1 baseline was a 36-plan session, today's",
+        "suite runs ~90 plans in one JVM, so the in-suite median measures",
+        "session codegen/heap churn, not the plan.",
+        "",
         "| query | median s | IQR s | min s | max s |",
         "|---|---|---|---|---|",
     ]
@@ -706,13 +737,28 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    summary_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"
+    )
+    # Carry the fresh-JVM medians recorded by `bench.py --fresh` (VERDICT r9
+    # #7): the round's artifact then holds BOTH methodologies — in-suite
+    # medians (the suite-total / regression gate) and fresh-JVM medians (the
+    # vs-r1-baseline gate for sub-second watchlist queries).
+    try:
+        with open(summary_path) as f:
+            prev_fresh = json.load(f).get("fresh", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev_fresh = {}
     full = dict(summary)
     full["iqr"] = {name: variance[name]["iqr"] for name in names}
     full["reps"] = reps
     full["sf_dir"] = sf_dir
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SUMMARY.json"), "w"
-    ) as f:
+    if prev_fresh:
+        full["fresh"] = prev_fresh
+        # compact stdout copy: just name -> fresh median (a handful of
+        # watchlist rows; the stdout line must stay tail-capture-small)
+        summary["fresh"] = {n: v["median"] for n, v in prev_fresh.items()}
+    with open(summary_path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
     line = json.dumps(summary, separators=(",", ":"))
@@ -1192,14 +1238,26 @@ def bench_state() -> int:
 
     here = os.path.dirname(os.path.abspath(__file__))
     n_chunks = 12
-    tiers = [
-        ("sf1", os.path.join(here, ".scale/sf1/events.parquet"), 1_000_000),
-        ("sf10", os.path.join(here, ".scale/sf10/events.parquet"), 10_000_000),
-    ]
-    providers = {
+    all_tiers = {
+        "sf1": (os.path.join(here, ".scale/sf1/events.parquet"), 1_000_000),
+        "sf10": (os.path.join(here, ".scale/sf10/events.parquet"), 10_000_000),
+    }
+    all_providers = {
         "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
         "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     }
+    # Resumable sweep: each (tier, job, provider) result merges into a
+    # results file and the md regenerates from the MERGED record, so the
+    # sf10 drains (minutes each) can run one invocation at a time.
+    sel_tiers = os.environ.get("SPARK_GRAFT_STATE_TIERS", "sf1,sf10").split(",")
+    sel_jobs = os.environ.get(
+        "SPARK_GRAFT_STATE_JOBS", "interval_join,dedup"
+    ).split(",")
+    sel_providers = os.environ.get(
+        "SPARK_GRAFT_STATE_PROVIDERS", "hdfs,rocksdb"
+    ).split(",")
+    tiers = [(n, *all_tiers[n]) for n in sel_tiers if n in all_tiers]
+    providers = {n: all_providers[n] for n in sel_providers if n in all_providers}
     schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
     scratch = os.path.join(here, ".bench_scratch", "state_probe")
     spark = get_spark(app_name="instructionspipe-spark-state-bench")
@@ -1285,41 +1343,54 @@ def bench_state() -> int:
             )
         return dt, batches
 
-    results = []
+    results_path = os.path.join(scratch, "results.json")
+    try:
+        with open(results_path) as f:
+            merged: dict = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        merged = {}
     for sf_name, parquet, n_rows in tiers:
         if not os.path.exists(parquet):
             print(f"# {sf_name}: {parquet} missing, skipped", file=sys.stderr)
             continue
         chunk_dir = os.path.join(scratch, sf_name)
         make_chunks(parquet, chunk_dir)
-        for job in ("interval_join", "dedup"):
+        for job in sel_jobs:
             for prov_name, prov_cls in providers.items():
                 ckpt = os.path.join(scratch, f"ckpt_{sf_name}_{job}_{prov_name}")
                 shutil.rmtree(ckpt, ignore_errors=True)
                 dt, batches = run_probe(chunk_dir, job, prov_cls, ckpt)
                 shutil.rmtree(ckpt, ignore_errors=True)
                 peak_rows = max((b["state_rows"] for b in batches), default=0)
-                results.append(
-                    {
-                        "sf": sf_name,
-                        "job": job,
-                        "provider": prov_name,
-                        "drain_sec": round(dt, 1),
-                        "rows_per_s": round(n_rows / dt),
-                        "n_batches": len(batches),
-                        "peak_state_rows": peak_rows,
-                        "end_state_rows": batches[-1]["state_rows"] if batches else 0,
-                        "peak_state_mb": max((b["mem_mb"] for b in batches), default=0),
-                        "total_removed": sum(b["removed"] for b in batches),
-                        "batches": batches,
-                    }
-                )
+                rec = {
+                    "sf": sf_name,
+                    "job": job,
+                    "provider": prov_name,
+                    "drain_sec": round(dt, 1),
+                    "rows_per_s": round(n_rows / dt),
+                    "n_batches": len(batches),
+                    "peak_state_rows": peak_rows,
+                    "end_state_rows": batches[-1]["state_rows"] if batches else 0,
+                    "peak_state_mb": max((b["mem_mb"] for b in batches), default=0),
+                    "total_removed": sum(b["removed"] for b in batches),
+                    "batches": batches,
+                }
+                merged[f"{sf_name}|{job}|{prov_name}"] = rec
+                os.makedirs(scratch, exist_ok=True)
+                with open(results_path, "w") as f:
+                    json.dump(merged, f, indent=1)
                 print(
                     f"# {sf_name} {job} {prov_name}: {dt:.1f}s, peak state "
                     f"{peak_rows} rows / "
                     f"{max((b['mem_mb'] for b in batches), default=0)} MB",
                     file=sys.stderr,
                 )
+    # Render from the MERGED record, ordered (sf, job, provider).
+    order = {"sf1": 0, "sf10": 1}
+    results = sorted(
+        merged.values(),
+        key=lambda r: (order.get(r["sf"], 9), r["job"], r["provider"]),
+    )
 
     md = [
         _STATE_HDR,
@@ -1364,6 +1435,40 @@ def bench_state() -> int:
                 f"{bh['removed']} | {bh['mem_mb']} / {bh['sec']} | "
                 f"{br['mem_mb']} / {br['sec']} |"
             )
+    md += [
+        "",
+        "Reading (r10 probe):",
+        "",
+        "- **Eviction law holds at both tiers**: peak state rows grow exactly",
+        "  10x with 10x event density (join 34.0k -> 339.5k, dedup 86.2k ->",
+        "  861.6k) because the watermark horizon is FIXED — peak state ~",
+        "  event_rate x horizon, independent of stream length. End-state rows",
+        "  return to the last batch's horizon; `evicted` accounts for the",
+        "  rest. Nothing accumulates across the 12 batches.",
+        "- **Wall-clock is batch-overhead-bound, not state-bound**: the join",
+        "  drains 10x the events in the same ~59 s (12 fixed micro-batch",
+        "  round-trips dominate); dedup grows 11.9 -> 18.3 s, alpha 0.19.",
+        "",
+        "### Provider decision (pinned, r10)",
+        "",
+        "**RocksDB for production stateful jobs; the default HDFS-backed",
+        "provider only for small-bounded-state work (tests, the oracle",
+        "twins).** Measured basis: wall-clock is within ~20% either way at",
+        "both tiers (join: RocksDB faster at both — 48.5 vs 57.8 s at sf1;",
+        "dedup: HDFS faster by ~9%), so throughput does not decide. MEMORY",
+        "PLACEMENT decides: the HDFS provider holds every state row on the",
+        "executor JVM HEAP (201-310 MB at sf10) and its per-batch snapshot",
+        "maintenance doubles copies transiently — one more decade (sf100 =",
+        "the 1B-event tier this engine targets) puts 2-3 GB of state per",
+        "executor on-heap, which is GC-pressure death in exactly the regime",
+        "where executors also run wide shuffles. RocksDB keeps state",
+        "off-heap (440 MB block-cache+memtable at sf10, bounded by",
+        "spark.sql.streaming.stateStore.rocksdb.* knobs, spills to local",
+        "disk past that) and supports changelog checkpointing, so state",
+        "size stops being an executor-sizing input. Pinned in",
+        "`streaming/jobs.py::RECOMMENDED_STATE_CONF`; the twins keep the",
+        "default provider so the oracle gate also covers it.",
+    ]
     md.append("")
     _splice_md(
         os.path.join(here, "BENCH_STREAMING.md"), _STATE_HDR, section="\n".join(md)
@@ -1383,6 +1488,8 @@ if __name__ == "__main__":
         raise SystemExit(bench_kernel())
     if "--streaming" in sys.argv[1:]:
         raise SystemExit(bench_streaming())
+    if "--state" in sys.argv[1:]:
+        raise SystemExit(bench_state())
     if "--fresh-one" in sys.argv[1:]:
         raise SystemExit(bench_fresh_one(sys.argv[sys.argv.index("--fresh-one") + 1]))
     if "--fresh" in sys.argv[1:]:

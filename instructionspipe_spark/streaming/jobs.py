@@ -16,6 +16,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Pinned state-store configuration for PRODUCTION stateful streaming jobs
+#: (r10 probe, BENCH_STREAMING.md "Provider decision"): RocksDB keeps state
+#: off the executor JVM heap — measured at the sf10 tier the default
+#: HDFS-backed provider holds 200-310 MB of state ON-HEAP per 10M events
+#: under a fixed watermark horizon, and state grows 10x per decade, so one
+#: more decade is 2-3 GB of GC-visible heap per executor. Wall-clock is
+#: within ~20% either way (RocksDB faster on the two-sided join at both
+#: measured tiers), so memory placement decides. Apply with
+#: ``for k, v in RECOMMENDED_STATE_CONF.items(): spark.conf.set(k, v)``
+#: before starting large-state queries; the oracle twins deliberately run
+#: the default provider so the driver gate covers it too.
+RECOMMENDED_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    # bound compaction write-amp + enable incremental (changelog) checkpoints
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
 
 def read_jsonl_stream(
     spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int = 10

@@ -1590,6 +1590,16 @@ def test_validation_guards(spark):
     bad = spark.createDataFrame([(1, None, "a2")], "k int, op string, v string")
     with pytest.raises(Exception, match="op must be 'U' or 'D'"):
         apply_changes(snap, bad, "k").collect()
+    # strict=True raises EAGERLY — even under a downstream plan (count)
+    # that prunes the change side and never evaluates the in-plan guard
+    # (ADVICE r9: the row-level raise_error is action-dependent).
+    with pytest.raises(ValueError, match="strict"):
+        apply_changes(snap, bad, "k", strict=True)
+    bad2 = spark.createDataFrame([(1, "X", "a2")], "k int, op string, v string")
+    with pytest.raises(ValueError, match="strict"):
+        apply_changes(snap, bad2, "k", strict=True)
+    good = spark.createDataFrame([(1, "U", "a2")], "k int, op string, v string")
+    assert apply_changes(snap, good, "k", strict=True).count() == 1
 
 
 def test_scd2_intervals_edges(spark):
