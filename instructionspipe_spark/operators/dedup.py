@@ -638,12 +638,27 @@ def cross_corpus_near_dups(
     ngram: int = 3,
     threshold: float = 0.5,
     engine: str = "arrow",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Fuzzy decontamination: (corpus_id, eval_id, jaccard) for every
     corpus row whose text is a MinHash near-duplicate (``jaccard >=
     threshold``) of an eval/benchmark row — the fuzzy complement of the
     exact n-gram ``contamination_screen`` (which misses lightly edited or
     truncated contamination).
+
+    ``bucket_cap`` (opt-in) is this operator's instance of the hot-bucket
+    law (r10 probe: alpha 1.27 over sf1 -> sf10 on the template-heavy
+    synthetic, same class as incremental_minhash_dedup's measured r9 law):
+    an EVAL-side banding bucket holding more than ``cap`` eval rows is
+    boilerplate mass (benchmark headers, shared prompt templates), and
+    every corpus row colliding with it fans out cap+ candidates. Capping
+    the EVAL side — the side the candidates multiply against — bounds
+    candidate volume at cap x |corpus banded rows|: LINEAR in corpus size
+    no matter how hot the corpus's own buckets are, which is the side a
+    decontamination run cannot control. Recall: a contaminated pair is
+    missed only if every band it collides on is over-cap on the EVAL side,
+    i.e. the benchmark row is itself template-saturated — strip benchmark
+    boilerplate first (SCALE.md cap-selection rule).
 
     Scale contract mirrors contamination_screen: the eval side is SMALL
     (benchmarks are thousands of rows, the corpus is billions), so its
@@ -683,6 +698,18 @@ def cross_corpus_near_dups(
     eb = side_banded(eval_df, eval_id_col, eval_text_col, persist=True).select(
         F.col("__id").alias("__eval_id"), "__band_idx", "__band_hash"
     )
+    if bucket_cap is not None:
+        # Census over the (small, persisted-upstream) eval banded frame;
+        # over-cap eval buckets generate no candidates.
+        bucket_sizes = eb.groupBy("__band_idx", "__band_hash").agg(
+            F.count(F.lit(1)).alias("__bc")
+        )
+        eb = eb.join(
+            bucket_sizes.filter(F.col("__bc") <= bucket_cap).select(
+                "__band_idx", "__band_hash"
+            ),
+            ["__band_idx", "__band_hash"],
+        )
     pairs = (
         cb.join(broadcast_if_small(eb), ["__band_idx", "__band_hash"])
         .select(F.col("__id").alias("corpus_id"), F.col("__eval_id").alias("eval_id"))

@@ -971,7 +971,12 @@ def jaccard_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XC_OFFSET = 10_000_000  # eval ids live above this in the shared sig CTE
 
 
-def _cross_corpus_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _cross_corpus_oracle(
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+) -> str:
     rows_per_band = num_perm // bands
     band_exprs = ", ".join(
         f"{{'b': {b}, 'h': md5('{b}' || '|' || array_to_string(list_transform(__sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], x -> CAST(x AS VARCHAR)), ','))}}"
@@ -981,6 +986,22 @@ def _cross_corpus_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 
         "CAST(len(list_intersect(sc.__shingles, se.__shingles)) AS DOUBLE)"
         " / len(list_distinct(list_concat(sc.__shingles, se.__shingles)))"
     )
+    if bucket_cap is None:
+        cap_cte, cap_join, cap_pred = "", "", ""
+    else:
+        # Replays the operator's EVAL-side cap exactly: bucket census over
+        # eval banded rows only; over-cap buckets emit no candidates.
+        cap_cte = f"""
+    eval_bucket AS (
+        SELECT band_idx, band_hash, count(*) AS bc
+        FROM banded WHERE doc_id >= {_XC_OFFSET}
+        GROUP BY band_idx, band_hash
+    ),"""
+        cap_join = (
+            "\n        JOIN eval_bucket z"
+            " ON z.band_idx = e.band_idx AND z.band_hash = e.band_hash"
+        )
+        cap_pred = f" AND z.bc <= {bucket_cap}"
     return (
         f"""WITH src AS (
         SELECT doc_id, text FROM documents
@@ -993,12 +1014,12 @@ def _cross_corpus_oracle(num_perm: int = 16, bands: int = 4, threshold: float = 
     banded AS (
         SELECT doc_id, u.b AS band_idx, u.h AS band_hash
         FROM sig, UNNEST([{band_exprs}]) AS t(u)
-    ),
+    ),{cap_cte}
     pairs AS (
         SELECT DISTINCT c.doc_id AS corpus_id, e.doc_id - {_XC_OFFSET} AS eval_id
         FROM banded c
-        JOIN banded e ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash
-        WHERE c.doc_id < {_XC_OFFSET} AND e.doc_id >= {_XC_OFFSET}
+        JOIN banded e ON c.band_idx = e.band_idx AND c.band_hash = e.band_hash{cap_join}
+        WHERE c.doc_id < {_XC_OFFSET} AND e.doc_id >= {_XC_OFFSET}{cap_pred}
     )
     SELECT p.corpus_id, p.eval_id, ROUND({jac}, 6) AS jaccard
     FROM pairs p
@@ -1023,6 +1044,34 @@ def cross_corpus_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ops.cross_corpus_near_dups(
         documents, ev, "doc_id", "text", "eval_id", "eval_text", threshold=0.5
+    )
+
+
+@query(
+    "cross_corpus_near_dups_capped",
+    oracle=_cross_corpus_oracle(bucket_cap=8),
+)
+def cross_corpus_near_dups_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination with the EVAL-side hot-bucket cap engaged —
+    the scale-safe production shape (operators/dedup.py:
+    cross_corpus_near_dups with bucket_cap). The r10 probe measured the
+    uncapped candidate join at alpha 1.27 over sf1 -> sf10 on the
+    template-heavy synthetic (the same hot-bucket law as N24); capping the
+    EVAL side bounds candidates at cap x |corpus banded rows| — linear in
+    corpus size regardless of corpus-side bucket heat, which is the side a
+    decontamination run cannot control. cap=8: above every organic eval
+    bucket at the small SFs (max 8/11 at sf0.001/sf0.01 with p99 ~7-8) and
+    below the sf0.1 template max (71), so the gate exercises capped
+    semantics. The oracle replays the eval bucket census and cap exactly —
+    a full value-level differential. Cap-selection rule: SCALE.md."""
+    (documents,) = _t(spark, sf_dir, "documents")
+    ev = documents.filter(F.col("doc_id") % 17 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr("substring(text, 1, (length(text) * 4) div 5)").alias("eval_text"),
+    )
+    return ops.cross_corpus_near_dups(
+        documents, ev, "doc_id", "text", "eval_id", "eval_text",
+        threshold=0.5, bucket_cap=8,
     )
 
 

@@ -1562,6 +1562,40 @@ def test_incremental_dedup_bucket_cap(spark):
     assert 200 not in capped  # template row's only collisions were capped
 
 
+def test_cross_corpus_bucket_cap(spark):
+    """cross_corpus_near_dups' EVAL-side bucket_cap (r10, alpha-1.27 fix):
+    capped matches are a subset of uncapped, a contamination pair whose
+    eval bands sit in small buckets survives, and a pair findable only
+    through an over-cap eval bucket is excluded."""
+    from instructionspipe_spark.operators.dedup import cross_corpus_near_dups
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, template),
+            (2, "completely unrelated unique text about spark catalyst engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    # eval side: a hot template bucket (40 identical rows) + one organic row
+    ev = [(i, template) for i in range(100, 140)]
+    ev += [(200, "completely unrelated unique text about spark catalyst engine")]
+    eval_df = spark.createDataFrame(ev, ["eval_id", "eval_text"])
+
+    def matches(cap):
+        out = cross_corpus_near_dups(
+            corpus, eval_df, "doc_id", "text", "eval_id", "eval_text",
+            threshold=0.5, bucket_cap=cap,
+        )
+        return {(r["corpus_id"], r["eval_id"]) for r in out.collect()}
+
+    full, capped = matches(None), matches(10)
+    assert capped <= full
+    assert (2, 200) in full and (1, 100) in full
+    assert (2, 200) in capped  # small-bucket contamination survives
+    assert not any(c == 1 for c, _ in capped)  # template-only pairs excluded
+
+
 def test_validation_guards(spark):
     """Invalid-argument guards raise ValueError (not stripped-under-O
     asserts), and a malformed CDC op fails loudly instead of silently
