@@ -31,23 +31,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # derived mechanically from the CORRECTNESS_r01-r09 union — see
 # tools/gate_fingerprints.py for the companion changed-since-last-gate
 # enforcement):
-# 1. The TWO rows never driver-gated (new in r10: the scale-safe capped
-#    shapes of N24 and the decontamination join —
-#    incremental_batch_dedup_capped, cross_corpus_near_dups_capped).
+# 1. The THREE rows never driver-gated (new in r10: the scale-safe capped
+#    shapes of N24 and the decontamination join, plus SemDeDup's
+#    hierarchical-assignment twin — incremental_batch_dedup_capped,
+#    cross_corpus_near_dups_capped, semantic_dedup_two_level).
 # 2. The ELEVEN rows whose newest gate record is r6 (the spill the r9
 #    head documented).
 # 3. The THREE rows whose oracle text was edited by the r9 decimal sweep
 #    AFTER their newest gate record (judge_metrics, cost_estimate,
 #    repetition_stats; distribution_fractions is already in cohort 2) —
 #    the class QUERY_FINGERPRINTS.json now catches mechanically.
-# 4. THIRTY-FOUR of the remaining 46 r7-stale rows, in registry order.
-# Structural note: with 159 registry queries and a 50-row window, full
-# coverage takes ceil(159/50) = 4 rounds; the 12 r7 rows spilled past the
+# 4. THIRTY-THREE of the remaining 46 r7-stale rows, in registry order.
+# Structural note: with 160 registry queries and a 50-row window, full
+# coverage takes ceil(160/50) = 4 rounds; the 13 r7 rows spilled past the
 # window below lead r11, and ALL rows are re-verified this round in the
 # builder's own 3-SF ORACLE_FULL_r10 record.
 _GATE_FIRST = (
     # -- never driver-gated (new in r10) ------------------------------------
     "incremental_batch_dedup_capped", "cross_corpus_near_dups_capped",
+    "semantic_dedup_two_level",
     # -- r6-stale cohort (the 11 rows spilled by the r9 head) ----------------
     "scope_projection", "low_length_filter", "set_operations",
     "window_rank_orders", "window_lag_running", "exact_dedup_first",
@@ -67,11 +69,10 @@ _GATE_FIRST = (
     "bpe_token_counts", "constrained_json_parse", "grpo_reward_advantage",
     "similarity_lsh_multiprobe", "q4_priority_exists",
     "q13_customer_distribution", "q19_disjunctive_revenue",
-    "q22_dormant_customers",
     # ======================= 50-window boundary ============================
-    # -- the 12 spilled r7 rows (7 of them the streaming twins, all
+    # -- the 13 spilled r7 rows (7 of them the streaming twins, all
     #    re-verified at 3 SFs in ORACLE_FULL_r10): they lead r11 -----------
-    "salted_aggregate",
+    "q22_dormant_customers", "salted_aggregate",
     "q7_nation_trade", "simhash_near_dedup", "similarity_multitable_topk",
     "lm_block_manifest", "semantic_dedup_trained",
     "streaming_sliding_equiv", "streaming_session_equiv",

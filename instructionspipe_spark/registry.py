@@ -5037,6 +5037,92 @@ def _semantic_dedup_oracle(n_cells: int = _SEMDEDUP_CELLS, threshold: float = _S
     """
 
 
+def _semantic_dedup_two_level_oracle(
+    n_cells: int = _SEMDEDUP_CELLS,
+    threshold: float = _SEMDEDUP_THRESHOLD,
+    super_probes: int = 2,
+) -> str:
+    """Exact replay of assign_levels=2: supers = lowest sqrt(k) centroids,
+    child->super argmax, vector->TOP-`super_probes` supers (rn <=
+    super_probes), then vector->child argmax across the probed supers'
+    children; each ranking on (ROUND(cos,6) DESC, lowest id); pairs +
+    loser election as the flat oracle."""
+    import math
+
+    n_super = math.isqrt(max(n_cells - 1, 0)) + 1
+    dot_cs = "CAST(list_sum(list_transform(range(1, len(c.__cent) + 1), i -> c.__cent[i] * s.__scent[i])) AS DOUBLE)"
+    dot_as = "CAST(list_sum(list_transform(range(1, len(a.__nv) + 1), i -> a.__nv[i] * s.__scent[i])) AS DOUBLE)"
+    dot_ac = "CAST(list_sum(list_transform(range(1, len(a.__nv) + 1), i -> a.__nv[i] * c.__cent[i])) AS DOUBLE)"
+    return f"""
+    WITH v AS (SELECT vec_id, {_NORMALIZE_SQL} AS __nv FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cell, __nv AS __cent FROM v ORDER BY vec_id LIMIT {n_cells}
+    ),
+    sup AS (
+        SELECT cell AS super, __cent AS __scent FROM cent ORDER BY cell LIMIT {n_super}
+    ),
+    c2s AS (
+        SELECT cell, __cent, super FROM (
+            SELECT c.cell, c.__cent, s.super,
+                   ROW_NUMBER() OVER (PARTITION BY c.cell
+                                      ORDER BY ROUND({dot_cs}, 6) DESC, s.super) AS rn
+            FROM cent c, sup s
+        ) WHERE rn = 1
+    ),
+    vsup AS (
+        SELECT vec_id, __nv, super FROM (
+            SELECT a.vec_id, a.__nv, s.super,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({dot_as}, 6) DESC, s.super) AS rn
+            FROM v a, sup s
+        ) WHERE rn <= {super_probes}
+    ),
+    assigned AS (
+        SELECT vec_id, cell, __nv FROM (
+            SELECT a.vec_id, c.cell, a.__nv,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                      ORDER BY ROUND({dot_ac}, 6) DESC, c.cell) AS rn
+            FROM vsup a JOIN c2s c ON a.super = c.super
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_DOT_SQL}, 6) AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ROUND({_DOT_SQL}, 6) >= {threshold!r}
+    ),
+    losers AS (
+        SELECT id_b, id_a AS dup_of, cos FROM (
+            SELECT id_b, id_a, cos,
+                   ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a, cos) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT s.vec_id, s.cell, l.id_b IS NULL AS kept, l.dup_of, l.cos AS cosine
+    FROM assigned s LEFT JOIN losers l ON s.vec_id = l.id_b
+    """
+
+
+@query("semantic_dedup_two_level", oracle=_semantic_dedup_two_level_oracle())
+def semantic_dedup_two_level_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with HIERARCHICAL cell assignment (operators/dedup.py:
+    semantic_dedup assign_levels=2) — the scale-safe routing for the
+    cells-grow-with-corpus design point. The r10 probe measured flat
+    assignment as the operator's only superlinear term (n x n_cells dots
+    with n_cells ∝ n is O(n²/cell_size); alpha 1.16 at the fourth decade
+    while the balanced-cell pairwise term reads exactly 1.00); two-level
+    routing costs O(n·sqrt(k)). Assignment differences are confined to
+    super-cell boundaries — the same partition trade as n_cells itself —
+    and the oracle replays the two-level argmax chain exactly, so this row
+    value-verifies the HIERARCHICAL semantics, not a drifted approximation
+    of the flat row."""
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return ops.semantic_dedup(
+        embeddings, "vec_id", "embedding",
+        n_cells=_SEMDEDUP_CELLS, threshold=_SEMDEDUP_THRESHOLD, assign_levels=2,
+    )
+
+
 @query("semantic_dedup", oracle=_semantic_dedup_oracle())
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup embedding-space near-dedup (operators/dedup.py:

@@ -1160,6 +1160,52 @@ def test_semantic_dedup(spark):
     assert out[1]["cell"] != out[2]["cell"]
 
 
+def test_semantic_dedup_two_level_assignment(spark):
+    """assign_levels=2 (the O(n*sqrt(k)) routing): on well-separated cells
+    the hierarchical assignment agrees with flat exactly — every vector
+    lands in the same cell and the dedup verdicts are identical; the
+    parameter guard rejects other level counts."""
+    import pytest
+
+    from instructionspipe_spark.operators.dedup import semantic_dedup
+    from instructionspipe_spark.session import release_persisted
+
+    # 4 orthogonal cell seeds (ids 1-4) + near-dups and singletons.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+        (5, [0.999, 0.01, 0.0, 0.0]),   # ~dup of 1
+        (6, [0.0, 0.01, 0.999, 0.0]),   # ~dup of 3
+        (7, [0.0, 0.0, 0.01, 0.999]),   # ~dup of 4
+        (8, [0.6, 0.0, 0.0, 0.8]),      # cell 4 side, not a dup at 0.99
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def run(levels):
+        out = {
+            r["vec_id"]: r.asDict()
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", n_cells=4, threshold=0.99,
+                assign_levels=levels,
+            ).collect()
+        }
+        release_persisted()
+        return out
+
+    flat, two = run(1), run(2)
+    assert {k: v["cell"] for k, v in two.items()} == {
+        k: v["cell"] for k, v in flat.items()
+    }
+    assert {k: (v["kept"], v["dup_of"]) for k, v in two.items()} == {
+        k: (v["kept"], v["dup_of"]) for k, v in flat.items()
+    }
+    assert two[5]["dup_of"] == 1 and two[6]["dup_of"] == 3 and two[7]["dup_of"] == 4
+    with pytest.raises(ValueError, match="assign_levels"):
+        semantic_dedup(df, "vec_id", "embedding", n_cells=4, assign_levels=3)
+
+
 def test_semantic_dedup_trained_mode(spark):
     """KMeans-trained cells: same output contract as the deterministic twin,
     seeded-deterministic across runs, and near-identical vectors still
