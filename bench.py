@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "quality_classifier",
     "perplexity_buckets",
     "semantic_dedup",
+    # round 10 additions: the scale-safe production shapes
+    "incremental_batch_dedup_capped",
+    "cross_corpus_near_dups_capped",
+    "semantic_dedup_two_level",
     # round 8 additions
     "rag_context_pipeline",
     "token_budget_mixture",
