@@ -1245,6 +1245,7 @@ def bench_state() -> int:
     all_tiers = {
         "sf1": (os.path.join(here, ".scale/sf1/events.parquet"), 1_000_000),
         "sf10": (os.path.join(here, ".scale/sf10/events.parquet"), 10_000_000),
+        "sf100": (os.path.join(here, ".scale/sf100/events.parquet"), 100_000_000),
     }
     all_providers = {
         "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
@@ -1253,6 +1254,9 @@ def bench_state() -> int:
     # Resumable sweep: each (tier, job, provider) result merges into a
     # results file and the md regenerates from the MERGED record, so the
     # sf10 drains (minutes each) can run one invocation at a time.
+    # sf100 (100M events, ~3.4M peak state rows) is opt-in: pass
+    # SPARK_GRAFT_STATE_TIERS=sf100 — it exists to test the provider
+    # decision's on-heap-growth prediction one decade further.
     sel_tiers = os.environ.get("SPARK_GRAFT_STATE_TIERS", "sf1,sf10").split(",")
     sel_jobs = os.environ.get(
         "SPARK_GRAFT_STATE_JOBS", "interval_join,dedup"
@@ -1390,7 +1394,7 @@ def bench_state() -> int:
                     file=sys.stderr,
                 )
     # Render from the MERGED record, ordered (sf, job, provider).
-    order = {"sf1": 0, "sf10": 1}
+    order = {"sf1": 0, "sf10": 1, "sf100": 2}
     results = sorted(
         merged.values(),
         key=lambda r: (order.get(r["sf"], 9), r["job"], r["provider"]),
@@ -1419,9 +1423,16 @@ def bench_state() -> int:
     # one detailed curve: the biggest tier's interval join, both providers
     # side by side (state-row counts are provider-independent semantics;
     # memory and batch seconds are where the providers differ)
+    # biggest tier where BOTH providers have a record (a partial sweep may
+    # have only one provider at the newest tier — don't crash the render)
     curve_src = [r for r in results if r["job"] == "interval_join"]
-    if curve_src:
-        biggest = curve_src[-1]["sf"]
+    both = [
+        sf
+        for sf in dict.fromkeys(r["sf"] for r in curve_src)
+        if {r["provider"] for r in curve_src if r["sf"] == sf} >= {"hdfs", "rocksdb"}
+    ]
+    if both:
+        biggest = both[-1]
         hd = next(r for r in curve_src if r["sf"] == biggest and r["provider"] == "hdfs")
         rk = next(
             r for r in curve_src if r["sf"] == biggest and r["provider"] == "rocksdb"
@@ -1443,33 +1454,39 @@ def bench_state() -> int:
         "",
         "Reading (r10 probe):",
         "",
-        "- **Eviction law holds at both tiers**: peak state rows grow exactly",
-        "  10x with 10x event density (join 34.0k -> 339.5k, dedup 86.2k ->",
-        "  861.6k) because the watermark horizon is FIXED — peak state ~",
-        "  event_rate x horizon, independent of stream length. End-state rows",
-        "  return to the last batch's horizon; `evicted` accounts for the",
-        "  rest. Nothing accumulates across the 12 batches.",
-        "- **Wall-clock is batch-overhead-bound, not state-bound**: the join",
-        "  drains 10x the events in the same ~59 s (12 fixed micro-batch",
-        "  round-trips dominate); dedup grows 11.9 -> 18.3 s, alpha 0.19.",
+        "- **Eviction law holds across three decades**: peak state rows grow",
+        "  exactly 10x with 10x event density (join 34.0k -> 339.5k -> 3.39M;",
+        "  dedup 86.2k -> 861.6k) because the watermark horizon is FIXED —",
+        "  peak state ~ event_rate x horizon, independent of stream length.",
+        "  End-state rows return to the last batch's horizon; `evicted`",
+        "  accounts for the rest. Nothing accumulates across the 12 batches.",
+        "- **Wall-clock is batch-overhead-bound until state gets big**: the",
+        "  join drains 10x the events in the same ~59 s from sf1 to sf10 (12",
+        "  fixed micro-batch round-trips dominate); at sf100 the state store",
+        "  itself starts to matter and the providers diverge (see decision).",
         "",
-        "### Provider decision (pinned, r10)",
+        "### Provider decision (pinned, r10; sf100 re-measured)",
         "",
-        "**RocksDB for production stateful jobs; the default HDFS-backed",
-        "provider only for small-bounded-state work (tests, the oracle",
-        "twins).** Measured basis: wall-clock is within ~20% either way at",
-        "both tiers (join: RocksDB faster at both — 48.5 vs 57.8 s at sf1;",
-        "dedup: HDFS faster by ~9%), so throughput does not decide. MEMORY",
-        "PLACEMENT decides: the HDFS provider holds every state row on the",
-        "executor JVM HEAP (201-310 MB at sf10) and its per-batch snapshot",
-        "maintenance doubles copies transiently — one more decade (sf100 =",
-        "the 1B-event tier this engine targets) puts 2-3 GB of state per",
-        "executor on-heap, which is GC-pressure death in exactly the regime",
-        "where executors also run wide shuffles. RocksDB keeps state",
-        "off-heap (440 MB block-cache+memtable at sf10, bounded by",
-        "spark.sql.streaming.stateStore.rocksdb.* knobs, spills to local",
-        "disk past that) and supports changelog checkpointing, so state",
-        "size stops being an executor-sizing input. Pinned in",
+        "**RocksDB for production large-state jobs; the default HDFS-backed",
+        "provider wherever peak state fits comfortably in executor heap",
+        "(tests, the oracle twins, bounded-horizon jobs on well-sized",
+        "executors).** The full measured trade, three decades of the",
+        "interval join: state rows grow exactly 10x/decade (34.0k -> 339.5k",
+        "-> 3.39M at sf100 = 100M events); the HDFS provider holds that on",
+        "the executor JVM HEAP (19.6 MB -> 201 MB -> **2.68 GB**) while",
+        "RocksDB holds it off-heap (45 -> 441 -> 1134 MB native). Wall-clock",
+        "favors HDFS when heap is abundant — at sf100 under this probe's",
+        "48 GB heap, HDFS drains in 75.3 s vs RocksDB's 156.6 s (RocksDB",
+        "pays memtable/compaction per batch) — so the decision is a MEMORY",
+        "SIZING rule, not a throughput rule: with production executors",
+        "(8-16 GB, shared with wide shuffles) a 2.7 GB GC-visible state",
+        "store is an OOM/GC hazard and one more decade is unrunnable,",
+        "while RocksDB's ~2x batch-time premium buys state that no longer",
+        "participates in executor sizing, plus changelog checkpointing for",
+        "fast restarts. Rule of thumb from the curves: peak state bytes <",
+        "~20% of executor heap -> default provider is faster and fine;",
+        "beyond that, or when state size is unpredictable (the exact case",
+        "eviction guards against), RocksDB — pinned in",
         "`streaming/jobs.py::RECOMMENDED_STATE_CONF`; the twins keep the",
         "default provider so the oracle gate also covers it.",
     ]

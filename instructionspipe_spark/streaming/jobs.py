@@ -16,14 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Pinned state-store configuration for PRODUCTION stateful streaming jobs
-#: (r10 probe, BENCH_STREAMING.md "Provider decision"): RocksDB keeps state
-#: off the executor JVM heap — measured at the sf10 tier the default
-#: HDFS-backed provider holds 200-310 MB of state ON-HEAP per 10M events
-#: under a fixed watermark horizon, and state grows 10x per decade, so one
-#: more decade is 2-3 GB of GC-visible heap per executor. Wall-clock is
-#: within ~20% either way (RocksDB faster on the two-sided join at both
-#: measured tiers), so memory placement decides. Apply with
+#: Pinned state-store configuration for PRODUCTION LARGE-STATE streaming
+#: jobs (r10 probe, BENCH_STREAMING.md "Provider decision", re-measured at
+#: three decades incl. sf100 = 100M events / 3.39M state rows): the default
+#: HDFS-backed provider holds peak state ON the executor JVM heap (measured
+#: 19.6 MB -> 201 MB -> 2.68 GB across the decades, exactly 10x per decade
+#: under a fixed watermark horizon) and is FASTER while heap is abundant
+#: (75 s vs RocksDB's 157 s at sf100 under a 48 GB probe heap — RocksDB
+#: pays memtable/compaction per batch). The decision is therefore a memory
+#: SIZING rule: keep the default provider while peak state bytes stay under
+#: ~20% of executor heap; switch to RocksDB (off-heap, bounded block
+#: cache, spills to local disk, changelog checkpointing) when state
+#: approaches heap scale or is unpredictable — on 8-16 GB production
+#: executors sharing heap with wide shuffles, a multi-GB GC-visible state
+#: store is an OOM hazard and the next decade is unrunnable. Apply with
 #: ``for k, v in RECOMMENDED_STATE_CONF.items(): spark.conf.set(k, v)``
 #: before starting large-state queries; the oracle twins deliberately run
 #: the default provider so the driver gate covers it too.
