@@ -154,3 +154,51 @@ def test_openai_replay_response_format_passthrough(monkeypatch):
     one = OpenAiLlm(model="m", response_format_json=json.dumps(env))._make_completer()
     assert _run(one(None, "hi")) == '{"a": "x"}'
     assert [c["response_format"] for c in rec.calls] == [env, env]
+
+
+def test_transient_classification():
+    """The transport retry ladder's fault classifier (_transient): retryable
+    = 429/5xx/408 HTTP statuses, connection drops, timeouts, short reads,
+    and the openai-SDK transient classes (matched by NAME — the SDK is not
+    importable here, which is exactly why the name/status_code branches
+    need direct coverage); NOT retryable = hard 4xx and arbitrary errors."""
+    import http.client
+    import json
+    import socket
+    import urllib.error
+
+    from instructionspipe_spark.plans.llm_kernel import _transient
+
+    def http_err(code):
+        return urllib.error.HTTPError("http://x", code, "msg", {}, None)
+
+    # retryable statuses
+    for code in (408, 429, 500, 502, 503, 504):
+        assert _transient(http_err(code)), code
+    # hard client errors: never retried
+    for code in (400, 401, 403, 404, 422):
+        assert not _transient(http_err(code)), code
+    # transport-level faults
+    assert _transient(urllib.error.URLError(socket.timeout()))
+    assert _transient(socket.timeout())
+    assert _transient(TimeoutError())
+    assert _transient(ConnectionResetError())
+    assert _transient(http.client.IncompleteRead(b"x", 10))
+    assert _transient(http.client.RemoteDisconnected("gone"))
+    try:
+        json.loads("{truncated")
+    except json.JSONDecodeError as e:
+        assert _transient(e)
+    # openai-SDK shapes, by class name and by status_code attribute
+    for name in ("RateLimitError", "InternalServerError", "APITimeoutError", "APIConnectionError"):
+        exc = type(name, (Exception,), {})()
+        assert _transient(exc), name
+    with_status = type("APIStatusError", (Exception,), {})()
+    with_status.status_code = 503
+    assert _transient(with_status)
+    hard_status = type("APIStatusError", (Exception,), {})()
+    hard_status.status_code = 401
+    assert not _transient(hard_status)
+    # arbitrary failures propagate immediately
+    assert not _transient(ValueError("bug"))
+    assert not _transient(KeyError("x"))
