@@ -436,3 +436,99 @@ def test_decimal_quantized_round_matches_duckdb(spark, ratios, digits):
         ).fetchall()
     }
     assert got == want
+
+
+@given(cap=st.integers(min_value=1, max_value=12))
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bucket_cap_subset_law_any_cap(spark, cap):
+    """For ANY cap value, both capped banded joins (N54) are candidate
+    RESTRICTIONS: the capped flag/match set is a subset of the uncapped
+    one, and every emitted verdict still clears the verification threshold
+    — the cap can only remove pairs, never invent or corrupt one."""
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import (
+        cross_corpus_near_dups,
+        incremental_minhash_dedup,
+    )
+    from instructionspipe_spark.session import release_persisted
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def flags(c):
+        out = incremental_minhash_dedup(
+            corpus, batch, "doc_id", "text", threshold=0.5, bucket_cap=c
+        ).collect()
+        release_persisted()
+        return {r["doc_id"]: r["dup_of"] for r in out if not r["kept"]}
+
+    full, capped = flags(None), flags(cap)
+    assert set(capped) <= set(full)
+
+    ev = batch.select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr("substring(text, 1, (length(text) * 4) div 5)").alias("eval_text"),
+    )
+
+    def matches(c):
+        out = cross_corpus_near_dups(
+            corpus, ev, "doc_id", "text", "eval_id", "eval_text",
+            threshold=0.5, bucket_cap=c,
+        ).collect()
+        release_persisted()
+        assert all(r["jaccard"] >= 0.5 for r in out)
+        return {(r["corpus_id"], r["eval_id"]) for r in out}
+
+    xfull, xcapped = matches(None), matches(cap)
+    assert xcapped <= xfull
+
+
+def test_two_level_all_probes_equals_flat(spark):
+    """Probing EVERY super (super_probes = n_super) makes the hierarchical
+    assignment's candidate set the full cell set, so N55 must degrade to
+    EXACTLY the flat assignment — cells, verdicts, dup_of, cosines — on
+    arbitrary (not well-separated) real vectors. This pins that the
+    two-level machinery introduces no semantics of its own beyond
+    candidate restriction."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from instructionspipe_spark.operators.dedup import semantic_dedup
+    from instructionspipe_spark.session import release_persisted
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 120)
+        .select("vec_id", "embedding")
+    )
+    n_cells = 7
+    n_super = math.isqrt(n_cells - 1) + 1
+
+    def run(levels, probes=2):
+        out = {
+            r["vec_id"]: (r["cell"], r["kept"], r["dup_of"], r["cosine"])
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", n_cells=n_cells, threshold=0.8,
+                assign_levels=levels, super_probes=probes,
+            ).collect()
+        }
+        release_persisted()
+        return out
+
+    flat = run(1)
+    all_probes = run(2, probes=n_super)
+    assert all_probes == flat
+    # and the restricted (default-probe) variant only RE-ROUTES — same row
+    # set, every cosine it emits is a true >=threshold pair
+    restricted = run(2)
+    assert set(restricted) == set(flat)
+    assert all(
+        c is None or c >= 0.8 for (_, _, _, c) in restricted.values()
+    )
